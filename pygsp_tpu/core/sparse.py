@@ -1,0 +1,224 @@
+"""Immutable padded sparse-matrix pytrees.
+
+The design departs from the reference's ``scipy.sparse.csr_matrix`` storage
+(reference: ``pygsp/graphs/graph.py:107-109``): sparse structure here is a
+*static-shape* pytree so every consumer (`jax.jit`, `lax.scan`, `shard_map`,
+Pallas) traces once per graph shape. Edges are stored as row-sorted COO
+triplets padded to a block multiple, alongside a CSR row-pointer for
+row-blocked kernels.
+
+Padding convention: padding entries carry ``rows == n_rows``,
+``cols == n_cols`` (one past the end) and ``val == 0``. Out-of-range segment
+ids are dropped by ``segment_sum`` and out-of-range gather reads clamp under
+jit, so the padded tail is inert in all segment-based math, keeps the arrays
+row-sorted, and stays identifiable (``rows >= n_rows``) even after a
+transpose re-sort.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Edge arrays are padded to a multiple of this (8 sublanes x 128 lanes).
+EDGE_BLOCK = 1024
+# Row blocking granularity for row-tiled kernels.
+ROW_BLOCK = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=['rows', 'cols', 'vals', 'rowptr'],
+         meta_fields=['n_rows', 'n_cols', 'nnz'])
+@dataclasses.dataclass(frozen=True)
+class CSRMatrix:
+    """Row-sorted padded COO + CSR row pointers; shape metadata is static.
+
+    Attributes
+    ----------
+    rows, cols : int32 arrays of shape (E_pad,), row-major sorted; padding
+        entries sit at the end with ``rows == n_rows``/``cols == n_cols``.
+    vals : float array of shape (E_pad,); zero on padding entries.
+    rowptr : int32 array of shape (n_rows + 1,); ``rowptr[-1] == nnz``.
+    n_rows, n_cols, nnz : static Python ints (hashable jit metadata).
+    """
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    rowptr: jax.Array
+    n_rows: int
+    n_cols: int
+    nnz: int
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def n_edges_padded(self) -> int:
+        return int(self.rows.shape[0])
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def astype(self, dtype) -> 'CSRMatrix':
+        return dataclasses.replace(self, vals=self.vals.astype(dtype))
+
+    def with_vals(self, vals: jax.Array) -> 'CSRMatrix':
+        """Same sparsity pattern, new values (shape (E_pad,))."""
+        return dataclasses.replace(self, vals=vals)
+
+    # ---- linear algebra -------------------------------------------------
+
+    def __matmul__(self, x):
+        return spmm(self, x)
+
+    @property
+    def T(self) -> 'CSRMatrix':
+        """Transpose, staying on device (stable re-sort by column)."""
+        # Padding entries (cols == n_cols) sort to the end because n_cols is
+        # strictly larger than every real column id.
+        order = jnp.argsort(self.cols, stable=True)
+        rows = self.cols[order]
+        cols = self.rows[order]
+        vals = self.vals[order]
+        real = self.rows < self.n_rows
+        counts = jnp.zeros(self.n_cols, jnp.int32).at[
+            jnp.where(real, self.cols, self.n_cols)].add(
+                1, mode='drop', indices_are_sorted=False)
+        rowptr = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(counts).astype(jnp.int32),
+        ])
+        return CSRMatrix(rows=rows, cols=cols, vals=vals, rowptr=rowptr,
+                         n_rows=self.n_cols, n_cols=self.n_rows, nnz=self.nnz)
+
+
+# ---------------------------------------------------------------------------
+# Builders (host-side; NumPy in, device pytree out)
+# ---------------------------------------------------------------------------
+
+def from_coo(rows, cols, vals, n_rows: int, n_cols: int | None = None,
+             *, dtype=None, sum_duplicates: bool = True,
+             edge_block: int = EDGE_BLOCK) -> CSRMatrix:
+    """Build a padded CSRMatrix from host COO triplets.
+
+    Sorting, dedup and padding happen host-side once per graph; the result is
+    an immutable device pytree. Mirrors the canonicalisation the reference
+    does in ``Graph.__init__`` (``graphs/graph.py:98-140``) minus validation,
+    which lives in :mod:`pygsp_tpu.graphs`.
+    """
+    if n_cols is None:
+        n_cols = n_rows
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals)
+    if dtype is not None:
+        vals = vals.astype(dtype)
+    if not np.issubdtype(vals.dtype, np.floating):
+        vals = vals.astype(np.float64)
+    if rows.shape != cols.shape or rows.shape != vals.shape:
+        raise ValueError('rows/cols/vals must have identical shapes')
+
+    # drop explicit zeros (reference: eliminate_zeros, graph.py:~128)
+    keep = vals != 0
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+
+    if sum_duplicates and rows.size:
+        key = rows * n_cols + cols
+        order = np.argsort(key, kind='stable')
+        key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
+        uniq, inv = np.unique(key, return_inverse=True)
+        if uniq.size != key.size:
+            summed = np.zeros(uniq.size, dtype=vals.dtype)
+            np.add.at(summed, inv, vals)
+            rows = (uniq // n_cols)
+            cols = (uniq % n_cols)
+            vals = summed
+    elif rows.size:
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+
+    return _pad_and_build(rows, cols, vals, n_rows, n_cols, edge_block)
+
+
+def _pad_and_build(rows, cols, vals, n_rows, n_cols, edge_block) -> CSRMatrix:
+    nnz = int(rows.size)
+    e_pad = max(_round_up(nnz, edge_block), edge_block)
+    pad = e_pad - nnz
+    rows_p = np.concatenate([rows, np.full(pad, n_rows, dtype=np.int64)])
+    cols_p = np.concatenate([cols, np.full(pad, n_cols, dtype=np.int64)])
+    vals_p = np.concatenate([vals, np.zeros(pad, dtype=vals.dtype)])
+
+    counts = np.bincount(rows, minlength=n_rows) if nnz else np.zeros(n_rows, np.int64)
+    rowptr = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(counts, out=rowptr[1:])
+
+    return CSRMatrix(
+        rows=jnp.asarray(rows_p, dtype=jnp.int32),
+        cols=jnp.asarray(cols_p, dtype=jnp.int32),
+        vals=jnp.asarray(vals_p),
+        rowptr=jnp.asarray(rowptr, dtype=jnp.int32),
+        n_rows=int(n_rows), n_cols=int(n_cols), nnz=nnz,
+    )
+
+
+def from_scipy(mat, *, dtype=None, edge_block: int = EDGE_BLOCK) -> CSRMatrix:
+    """Build from any scipy.sparse matrix (host-side interop path)."""
+    coo = mat.tocoo()
+    return from_coo(coo.row, coo.col, coo.data, coo.shape[0], coo.shape[1],
+                    dtype=dtype, sum_duplicates=True, edge_block=edge_block)
+
+
+def from_dense(arr, *, dtype=None, edge_block: int = EDGE_BLOCK) -> CSRMatrix:
+    arr = np.asarray(arr)
+    rows, cols = np.nonzero(arr)
+    return from_coo(rows, cols, arr[rows, cols], arr.shape[0], arr.shape[1],
+                    dtype=dtype, edge_block=edge_block)
+
+
+def to_scipy(mat: CSRMatrix):
+    """Export to scipy CSR (drops padding by the ``rows < n_rows`` mask)."""
+    import scipy.sparse as sps
+    rows = np.asarray(mat.rows)
+    keep = rows < mat.n_rows
+    rows = rows[keep]
+    cols = np.asarray(mat.cols)[keep]
+    vals = np.asarray(mat.vals)[keep]
+    return sps.csr_matrix((vals, (rows, cols)), shape=mat.shape)
+
+
+def to_dense(mat: CSRMatrix) -> jax.Array:
+    """Densify on device (small matrices only: exact spectral path)."""
+    out = jnp.zeros(mat.shape, mat.vals.dtype)
+    return out.at[mat.rows, mat.cols].add(mat.vals, mode='drop')
+
+
+# ---------------------------------------------------------------------------
+# SpMM (reference implementation; the Pallas kernel lives in ops/)
+# ---------------------------------------------------------------------------
+
+def spmm(mat: CSRMatrix, x: jax.Array) -> jax.Array:
+    """``y = A @ x`` for x of shape (n_cols,) or (n_cols, ...).
+
+    Gather-multiply-segment-sum form: the TPU-native replacement for the
+    reference's ``G.L.dot(signal)`` (``filters/approximations.py:99``).
+    Padding edges carry zero values and out-of-range row ids, so they are
+    dropped by the segment reduction.
+    """
+    gathered = x[mat.cols]  # out-of-range padding cols clamp under jit
+    if x.ndim == 1:
+        contrib = mat.vals * gathered
+    else:
+        contrib = mat.vals.reshape((-1,) + (1,) * (x.ndim - 1)) * gathered
+    return jax.ops.segment_sum(contrib, mat.rows, num_segments=mat.n_rows,
+                               indices_are_sorted=True)

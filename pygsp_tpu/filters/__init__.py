@@ -1,0 +1,32 @@
+"""Spectral filter banks (API parity with ``pygsp.filters``)."""
+
+from pygsp_tpu.filters.filter import Filter
+from pygsp_tpu.filters.heat import Heat
+
+__all__ = ['Filter', 'Heat']
+
+
+_LAZY = {
+    'Abspline': 'abspline', 'Expwin': 'expwin', 'Gabor': 'gabor',
+    'HalfCosine': 'halfcosine', 'Held': 'held', 'Itersine': 'itersine',
+    'MexicanHat': 'mexicanhat', 'Meyer': 'meyer', 'Modulation': 'modulation',
+    'Papadakis': 'papadakis', 'Rectangular': 'rectangular',
+    'Regular': 'regular', 'Simoncelli': 'simoncelli',
+    'SimpleTight': 'simpletight', 'Wave': 'wave',
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        mod = importlib.import_module(f'pygsp_tpu.filters.{_LAZY[name]}')
+        cls = getattr(mod, name)
+        globals()[name] = cls
+        return cls
+    if name in ('compute_cheby_coeff', 'compute_jackson_cheby_coeff',
+                'cheby_op', 'cheby_rect', 'lanczos', 'lanczos_op'):
+        from pygsp_tpu.filters import approximations
+        fn = getattr(approximations, name)
+        globals()[name] = fn
+        return fn
+    raise AttributeError(f"module 'pygsp_tpu.filters' has no attribute {name!r}")

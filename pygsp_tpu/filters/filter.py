@@ -1,0 +1,248 @@
+"""Filter banks over graph spectra.
+
+The user-facing class mirrors the reference ``Filter``
+(``pygsp/filters/filter.py:56-760``): a bank is a list of scalar kernels
+λ → g(λ) attached to a graph, with ``evaluate / filter / analyze /
+synthesize / localize / estimate_frame_bounds / compute_frame / complement /
+inverse``. The compute paths differ fundamentally:
+
+- ``method='chebyshev'`` dispatches to the jit-compiled ``lax.scan``
+  recurrence in :mod:`pygsp_tpu.ops.chebyshev` (K SpMMs shared by the bank);
+- ``method='exact'`` runs the dense Fourier path on device;
+- ``method='lanczos'`` works (the reference's is dead code —
+  ``approximations.py:247``, ``filter.py:324-325``).
+
+Signal convention is the reference's rank-3 ``(N_NODES, N_SIGNALS,
+N_FEATURES)`` with the same squeeze/expand ergonomics
+(``filter.py:146-328``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pygsp_tpu import utils
+from pygsp_tpu.ops import chebyshev as cheby
+from pygsp_tpu.ops import lanczos as lanczos_mod
+
+_logger = utils.build_logger(__name__)
+
+
+@partial(jax.jit, static_argnames=())
+def _analysis_cheby(L, lmax, c, s):
+    """(N, S) signals -> (N, S, Nf)."""
+    r = cheby.cheby_op(L, lmax, c, s)          # (Nf, N, S)
+    return jnp.moveaxis(r, 0, -1)              # (N, S, Nf)
+
+
+@partial(jax.jit, static_argnames=())
+def _synthesis_cheby(L, lmax, c, s):
+    """(N, S, Nf) coefficients -> (N, S)."""
+    return cheby.cheby_synthesis(L, lmax, c, s)
+
+
+class Filter:
+    """A filter bank: list of spectral kernels attached to a graph."""
+
+    def __init__(self, G, kernels):
+        self.G = G
+        try:
+            iter(kernels)
+        except TypeError:
+            kernels = [kernels]
+        self._kernels = list(kernels)
+
+        self.n_features_in, self.n_features_out = (1, len(self._kernels))
+        self.shape = (self.n_features_out, self.n_features_in)
+        self.n_filters = self.n_features_in * self.n_features_out
+        self.Nf = self.n_filters
+
+    # -- bank algebra (reference filter.py:87-105) ------------------------
+
+    def _get_extra_repr(self):
+        return dict()
+
+    def __repr__(self):
+        attrs = {'in': self.n_features_in, 'out': self.n_features_out}
+        attrs.update(self._get_extra_repr())
+        s = ', '.join(f'{k}={v}' for k, v in attrs.items())
+        return f'{type(self).__name__}({s})'
+
+    def __len__(self):
+        return self.n_filters
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            return Filter(self.G, self._kernels[key])
+        return Filter(self.G, self._kernels[key])
+
+    def __add__(self, other):
+        if not isinstance(other, Filter):
+            return NotImplemented
+        return Filter(self.G, self._kernels + other._kernels)
+
+    def __call__(self, x):
+        from pygsp_tpu.graphs import Graph
+        if isinstance(x, Graph):
+            return Filter(x, self._kernels)
+        return self.evaluate(x)
+
+    def __matmul__(self, other):
+        return self.filter(other)
+
+    # -- evaluation -------------------------------------------------------
+
+    def evaluate(self, x):
+        """Kernel responses at graph frequencies x: returns (Nf, *x.shape)."""
+        x = jnp.asarray(x)
+        return jnp.stack([jnp.asarray(k(x)) for k in self._kernels])
+
+    # -- filtering --------------------------------------------------------
+
+    def filter(self, s, method: str = 'chebyshev', order: int = 30):
+        """Analysis (1 → Nf features) or synthesis (Nf → 1).
+
+        Same rank-3 convention and dispatch as the reference
+        (``filter.py:146-328``); returns a squeezed jax array.
+        """
+        s = jnp.asarray(self.G._check_signal(np.asanyarray(s) if not
+                                             isinstance(s, jax.Array) else s))
+        if s.ndim == 1 or s.shape[-1] not in (1, self.Nf):
+            if s.ndim == 3:
+                raise ValueError(
+                    f'Third dimension (#features) should be either 1 or the '
+                    f'number of filters Nf = {self.Nf}, got {s.shape}.')
+            s = jnp.expand_dims(s, -1)
+        n_features_in = s.shape[-1]
+        if s.ndim < 3:
+            s = jnp.expand_dims(s, 1)
+        if s.ndim > 3:
+            raise ValueError('At most 3 dimensions: '
+                             '#nodes x #signals x #features.')
+        n_signals = s.shape[1]
+        n_features_out = self.Nf if n_features_in == 1 else 1
+
+        if method == 'exact':
+            f = self.evaluate(self.G.e).T                 # (N, Nf)
+            axis = 1 if n_features_in == 1 else 2
+            f = jnp.expand_dims(f, axis)
+            assert f.shape == (self.G.N, n_features_in, n_features_out)
+            s_hat = self.G.gft(s)
+            s_hat = jnp.matmul(s_hat, f)
+            out = self.G.igft(s_hat)
+
+        elif method == 'chebyshev':
+            c = cheby.cheby_coeff(self.evaluate, self.G.lmax, m=order)
+            if n_features_in == 1:   # analysis
+                out = _analysis_cheby(self.G.L, self.G.lmax, c, s[..., 0])
+            else:                    # synthesis
+                out = _synthesis_cheby(self.G.L, self.G.lmax, c, s)
+                out = jnp.expand_dims(out, -1)
+
+        elif method == 'lanczos':
+            if n_features_in == 1:
+                r = lanczos_mod.lanczos_op(self.G.L, self.evaluate,
+                                           s[..., 0], order=order)
+                out = jnp.moveaxis(r, 0, -1)
+            else:
+                parts = []
+                for i in range(self.Nf):
+                    gi = Filter(self.G, self._kernels[i])
+                    r = lanczos_mod.lanczos_op(self.G.L, gi.evaluate,
+                                               s[..., i], order=order)
+                    parts.append(r[0])
+                out = jnp.expand_dims(sum(parts), -1)
+
+        else:
+            raise ValueError(f'Unknown method {method}.')
+
+        return out.squeeze()
+
+    def analyze(self, s, method='chebyshev', order=30):
+        s = np.asanyarray(s) if not isinstance(s, jax.Array) else s
+        if s.ndim == 3 and s.shape[-1] != 1:
+            raise ValueError(f'Last dimension (#features) should be 1, '
+                             f'got {s.shape}.')
+        return self.filter(s, method, order)
+
+    def synthesize(self, s, method='chebyshev', order=30):
+        s = np.asanyarray(s) if not isinstance(s, jax.Array) else s
+        if s.shape[-1] != self.Nf:
+            raise ValueError(f'Last dimension (#features) should be the '
+                             f'number of filters Nf = {self.Nf}, got {s.shape}.')
+        return self.filter(s, method, order)
+
+    def localize(self, i, **kwargs):
+        """Filter √N·δᵢ to visualize the kernels in the vertex domain
+        (reference filter.py:350-391)."""
+        s = jnp.zeros(self.G.N).at[i].set(1.0)
+        return jnp.sqrt(self.G.N) * self.filter(s, **kwargs)
+
+    # -- frame machinery --------------------------------------------------
+
+    def estimate_frame_bounds(self, x=None):
+        """(A, B) = min/max of Σᵢ gᵢ²(x) (reference filter.py:393-504)."""
+        if x is None:
+            x = jnp.linspace(0, self.G.lmax, 1000)
+        else:
+            x = jnp.asarray(x)
+        s = jnp.sum(self.evaluate(x) ** 2, axis=0)
+        return float(jnp.min(s)), float(jnp.max(s))
+
+    def compute_frame(self, **kwargs):
+        """Analysis-operator matrix (N·Nf, N) by filtering the identity
+        (reference filter.py:506-583). Small graphs only."""
+        if self.G.N > 2000:
+            _logger.warning('Creating a big matrix. '
+                            'You should prefer the filter method.')
+        s = jnp.identity(self.G.N)
+        return self.filter(s, **kwargs).T.reshape(-1, self.G.N)
+
+    def toarray(self):
+        return self.compute_frame()
+
+    def complement(self, frame_bound=None):
+        """Kernel √(B − Σg²) that tightens the frame
+        (reference filter.py:602-661)."""
+        def kernel(x):
+            y = jnp.sum(self.evaluate(x) ** 2, axis=0)
+            if frame_bound is None:
+                bound = jnp.max(y)
+            else:
+                _, B = self.estimate_frame_bounds(x)
+                if B > frame_bound:
+                    raise ValueError(f'The chosen bound is not feasible. '
+                                     f'Choose at least {B}.')
+                bound = frame_bound
+            return jnp.sqrt(jnp.maximum(bound - y, 0.0))
+        return Filter(self.G, kernel)
+
+    def inverse(self):
+        """Canonical dual bank gᵢ⁺ = gᵢ / Σⱼ gⱼ² (pseudo-inverse; reference
+        filter.py:663-759)."""
+        A, B = self.estimate_frame_bounds()
+        if A == 0:
+            _logger.warning('The filter bank is not invertible as it is not '
+                            'a frame (lower frame bound A=0).')
+        elif A / B < 1e-10:
+            _logger.warning('The filter bank is badly conditioned. '
+                            'The inverse will be approximate.')
+
+        def make_kernel(i):
+            def kernel(x):
+                y = self.evaluate(x)               # (Nf, len(x))
+                denom = jnp.sum(y ** 2, axis=0)
+                return jnp.where(denom > 0, y[i] / jnp.where(denom > 0, denom, 1.0), 0.0)
+            return kernel
+
+        return Filter(self.G, [make_kernel(i) for i in range(self.n_filters)])
+
+    # -- presentation -----------------------------------------------------
+
+    def plot(self, **kwargs):
+        from pygsp_tpu import plotting
+        return plotting.plot_filter(self, **kwargs)

@@ -1,0 +1,209 @@
+"""Chebyshev polynomial filtering — the framework's hot path.
+
+Replicates the math of the reference's ``compute_cheby_coeff`` / ``cheby_op``
+(``pygsp/filters/approximations.py:10-114``) with a TPU-native evaluation
+strategy: the three-term recurrence runs as a ``lax.scan`` whose carried
+state is ``(T_{k-1} s, T_k s, accumulators for all Nf filters)``, so the
+K SpMMs are shared across the whole filter bank and every elementwise
+shift/scale fuses into the SpMM's gather/segment-sum under XLA.
+
+Signal convention: ``x`` has shape ``(N, ...)`` (any trailing dims);
+``cheby_op`` returns ``(Nf, N, ...)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pygsp_tpu.core.operators import LaplacianOp, matvec
+
+
+def cheby_coeff(evaluate, lmax, m: int = 30, grid_n: int | None = None,
+                dtype=None):
+    """Chebyshev–Gauss quadrature coefficients of a filter bank.
+
+    Parameters
+    ----------
+    evaluate : callable λ(1d array) -> (Nf, len(λ)) kernel responses.
+    lmax : scalar — spectrum upper bound; quadrature samples [0, lmax].
+    m : Chebyshev order (reference default 30, ``filters/filter.py:146``).
+    grid_n : quadrature grid size, default m + 1
+        (reference ``approximations.py:38``).
+
+    Returns
+    -------
+    c : (Nf, m + 1) coefficient matrix.
+    """
+    n = grid_n if grid_n else m + 1
+    lmax = jnp.asarray(lmax, dtype=dtype)
+    a1 = lmax / 2
+    a2 = lmax / 2
+    j = jnp.arange(n, dtype=lmax.dtype) + 0.5
+    grid = jnp.cos(jnp.pi * j / n)                     # (n,)
+    kvals = jnp.atleast_2d(evaluate(a1 * grid + a2))   # (Nf, n)
+    orders = jnp.arange(m + 1, dtype=lmax.dtype)
+    cosmat = jnp.cos(jnp.pi * orders[:, None] * j[None, :] / n)  # (m+1, n)
+    return (2.0 / n) * kvals @ cosmat.T                # (Nf, m+1)
+
+
+def cheby_op(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
+    """Apply a Chebyshev-approximated filter bank: ``(Nf, m+1), (N, ...) -> (Nf, N, ...)``.
+
+    Exact arithmetic of ``cheby_op`` (``approximations.py:58-114``): shifted
+    recurrence on [0, lmax] with the 0.5·c0 convention, all Nf filters
+    accumulated from the shared recurrence terms.
+    """
+    c = jnp.atleast_2d(c)
+    nf, m1 = c.shape
+    if m1 < 2:
+        raise ValueError('Chebyshev coefficients need order >= 1')
+    lmax = jnp.asarray(lmax, dtype=x.dtype)
+    a1 = lmax / 2
+    a2 = lmax / 2
+
+    bshape = (nf,) + (1,) * x.ndim  # broadcast shape for per-filter coeffs
+
+    t_old = x
+    t_cur = (matvec(L, x) - a2 * x) / a1
+    acc = (0.5 * c[:, 0].reshape(bshape) * t_old[None]
+           + c[:, 1].reshape(bshape) * t_cur[None])
+
+    if m1 == 2:
+        return acc
+
+    # 2/a1 * (L - a2 I), shift/scale fused into the operator's diag + vals
+    factor = L.shifted(2.0 / a1, a2)
+
+    def step(carry, ck):
+        t_old, t_cur, acc = carry
+        t_new = matvec(factor, t_cur) - t_old
+        acc = acc + ck.reshape(bshape) * t_new[None]
+        return (t_cur, t_new, acc), None
+
+    (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc), c[:, 2:].T)
+    return acc
+
+
+def cheby_op_intermediates(L: LaplacianOp, lmax, c, x: jax.Array):
+    """Like :func:`cheby_op` but also returns every recurrence term
+    ``T̃_k s`` for k = 0..m, for per-order parity validation against the
+    reference (BASELINE correctness target)."""
+    c = jnp.atleast_2d(c)
+    nf, m1 = c.shape
+    lmax = jnp.asarray(lmax, dtype=x.dtype)
+    a1 = lmax / 2
+    a2 = lmax / 2
+    bshape = (nf,) + (1,) * x.ndim
+
+    t_old = x
+    t_cur = (matvec(L, x) - a2 * x) / a1
+    acc = (0.5 * c[:, 0].reshape(bshape) * t_old[None]
+           + c[:, 1].reshape(bshape) * t_cur[None])
+    terms = [t_old, t_cur]
+    factor = L.shifted(2.0 / a1, a2)
+    for k in range(2, m1):
+        t_new = matvec(factor, t_cur) - t_old
+        acc = acc + c[:, k].reshape(bshape) * t_new[None]
+        t_old, t_cur = t_cur, t_new
+        terms.append(t_new)
+    return acc, jnp.stack(terms)
+
+
+def cheby_rect(L: LaplacianOp, lmax, bounds, x: jax.Array,
+               order: int = 30) -> jax.Array:
+    """Ideal band-pass filtering with closed-form Chebyshev coefficients.
+
+    Math of ``cheby_rect`` (``approximations.py:117-163``): coefficients are
+    the analytic Chebyshev series of the indicator of [b1, b2] ⊂ [0, lmax].
+    """
+    lmax = jnp.asarray(lmax, dtype=x.dtype)
+    bounds = jnp.asarray(bounds, dtype=x.dtype)
+    m = order + 1
+    b1, b2 = jnp.arccos(2.0 * bounds / lmax - 1.0)
+    # 4/lmax * L - 2 I  ==  2/a1 (L - a2 I) with a1 = a2 = lmax/2
+    factor = L.shifted(4.0 / lmax, lmax / 2.0)
+
+    t_old = x
+    t_cur = matvec(factor, x) / 2.0
+    acc = (b1 - b2) / jnp.pi * x + 2.0 / jnp.pi * (jnp.sin(b1) - jnp.sin(b2)) * t_cur
+
+    ks = jnp.arange(2, m, dtype=x.dtype)
+    coeffs = 2.0 / (ks * jnp.pi) * (jnp.sin(ks * b1) - jnp.sin(ks * b2))
+
+    def step(carry, ck):
+        t_old, t_cur, acc = carry
+        t_new = matvec(factor, t_cur) - t_old
+        acc = acc + ck * t_new
+        return (t_cur, t_new, acc), None
+
+    (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc), coeffs)
+    return acc
+
+
+def jackson_cheby_coeff(filter_bounds, delta_lambda, m: int):
+    """Jackson-damped Chebyshev coefficients of an ideal band-pass.
+
+    Math of ``compute_jackson_cheby_coeff``
+    (``approximations.py:166-225``): ideal band-pass between the two
+    ``filter_bounds`` within spectrum ``delta_lambda = [λmin, λmax]``,
+    then Jackson damping. Returns ``(ch, jch)`` — raw and damped
+    coefficient vectors of length m + 1.
+    """
+    a, b = (jnp.asarray(v, dtype=jnp.result_type(float)) for v in delta_lambda)
+    fa, fb = (jnp.asarray(v, dtype=jnp.result_type(float)) for v in filter_bounds)
+    # affine map of the band onto [-1, 1]
+    fa = (2.0 * fa - a - b) / (b - a)
+    fb = (2.0 * fb - a - b) / (b - a)
+
+    ks = jnp.arange(1, m + 1, dtype=fa.dtype)
+    ch0 = 2.0 * (jnp.arccos(fa) - jnp.arccos(fb)) / jnp.pi
+    chk = (2.0 / (jnp.pi * ks)) * (jnp.sin(ks * jnp.arccos(fa))
+                                   - jnp.sin(ks * jnp.arccos(fb)))
+    ch = jnp.concatenate([ch0[None], chk])
+
+    # Jackson damping factors (gamma_JACK in the reference)
+    alpha = jnp.pi / (m + 2.0)
+    kk = jnp.arange(0, m + 1, dtype=fa.dtype)
+    gamma = ((1.0 - kk / (m + 2.0)) * jnp.sin(alpha) * jnp.cos(kk * alpha)
+             + (1.0 / (m + 2.0)) * jnp.cos(alpha) * jnp.sin(kk * alpha)) / jnp.sin(alpha)
+    return ch, ch * gamma
+
+
+def cheby_synthesis(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
+    """Synthesis: per-filter coefficients applied to per-filter signals, summed.
+
+    ``c``: (Nf, m+1); ``x``: (N, ..., Nf) — feature axis last. Returns
+    (N, ...). Matches the reference's synthesis loop
+    (``filter.py:313-322``) but runs ONE recurrence over the whole
+    (N, ... * Nf) block instead of Nf sequential recurrences, so the SpMMs
+    are Nf× wider — same FLOPs, far better TPU utilisation.
+    """
+    c = jnp.atleast_2d(c)
+    nf, m1 = c.shape
+    if x.shape[-1] != nf:
+        raise ValueError(f'last axis of x ({x.shape[-1]}) must equal the '
+                         f'number of filters ({nf})')
+    lmax = jnp.asarray(lmax, dtype=x.dtype)
+    a1 = lmax / 2
+    a2 = lmax / 2
+
+    t_old = x
+    t_cur = (matvec(L, x) - a2 * x) / a1
+    acc = jnp.sum(0.5 * c[:, 0] * t_old + c[:, 1] * t_cur, axis=-1)
+
+    if m1 == 2:
+        return acc
+
+    factor = L.shifted(2.0 / a1, a2)
+
+    def step(carry, ck):
+        t_old, t_cur, acc = carry
+        t_new = matvec(factor, t_cur) - t_old
+        acc = acc + jnp.sum(ck * t_new, axis=-1)
+        return (t_cur, t_new, acc), None
+
+    (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc), c[:, 2:].T)
+    return acc

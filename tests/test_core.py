@@ -1,0 +1,111 @@
+"""Core sparse pytree + Laplacian operator tests (vs scipy ground truth)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from pygsp_tpu.core import sparse as core_sparse
+from pygsp_tpu.core.operators import laplacian_op, matvec, degrees_from_adjacency
+
+
+def random_sym_adj(rng, n=57, density=0.1):
+    A = sps.random(n, n, density=density, random_state=np.random.RandomState(7),
+                   data_rvs=lambda k: rng.uniform(0.1, 2.0, k))
+    A = A + A.T
+    A.setdiag(0)
+    A.eliminate_zeros()
+    return A.tocsr()
+
+
+def test_from_scipy_roundtrip(rng):
+    A = random_sym_adj(rng)
+    M = core_sparse.from_scipy(A)
+    assert M.nnz == A.nnz
+    assert (M.n_edges_padded % core_sparse.EDGE_BLOCK) == 0
+    B = core_sparse.to_scipy(M)
+    assert np.allclose(B.toarray(), A.toarray())
+
+
+def test_spmm_matches_scipy(rng):
+    A = random_sym_adj(rng)
+    M = core_sparse.from_scipy(A)
+    x = rng.normal(size=(A.shape[0],))
+    assert np.allclose(np.asarray(M @ jnp.asarray(x)), A @ x)
+    X = rng.normal(size=(A.shape[0], 5))
+    assert np.allclose(np.asarray(M @ jnp.asarray(X)), A @ X)
+    X3 = rng.normal(size=(A.shape[0], 3, 4))
+    got = np.asarray(M @ jnp.asarray(X3))
+    want = np.einsum('ij,jsf->isf', A.toarray(), X3)
+    assert np.allclose(got, want)
+
+
+def test_transpose(rng):
+    A = sps.random(40, 60, density=0.15,
+                   random_state=np.random.RandomState(3))
+    M = core_sparse.from_scipy(A)
+    Mt = M.T
+    x = rng.normal(size=(40,))
+    assert np.allclose(np.asarray(Mt @ jnp.asarray(x)), A.T @ x)
+    assert np.allclose(core_sparse.to_scipy(Mt).toarray(), A.T.toarray())
+
+
+def test_to_dense(rng):
+    A = random_sym_adj(rng)
+    M = core_sparse.from_scipy(A)
+    assert np.allclose(np.asarray(core_sparse.to_dense(M)), A.toarray())
+
+
+def test_degrees(rng):
+    A = random_sym_adj(rng)
+    W = core_sparse.from_scipy(A)
+    d, dw = degrees_from_adjacency(W)
+    assert np.allclose(np.asarray(d), A.getnnz(axis=1))
+    assert np.allclose(np.asarray(dw), np.ravel(A.sum(axis=1)))
+
+
+@pytest.mark.parametrize('lap_type', ['combinatorial', 'normalized'])
+def test_laplacian_matches_scipy(rng, lap_type):
+    A = random_sym_adj(rng)
+    W = core_sparse.from_scipy(A)
+    L = laplacian_op(W, lap_type)
+    dw = np.ravel(A.sum(axis=1))
+    if lap_type == 'combinatorial':
+        L_ref = sps.diags(dw) - A
+    else:
+        d = np.where(dw > 0, dw, 1.0) ** -0.5
+        d = np.where(dw > 0, d, 0.0)
+        L_ref = sps.eye(A.shape[0]) - sps.diags(d) @ A @ sps.diags(d)
+        L_ref = L_ref.tolil()
+        for i in np.nonzero(dw == 0)[0]:
+            L_ref[i, i] = 0
+    x = rng.normal(size=(A.shape[0], 3))
+    assert np.allclose(np.asarray(matvec(L, jnp.asarray(x))), L_ref @ x)
+    assert np.allclose(np.asarray(L.to_dense()), L_ref.toarray())
+
+
+def test_laplacian_isolated_vertex(rng):
+    A = np.zeros((5, 5))
+    A[0, 1] = A[1, 0] = 2.0
+    A[2, 3] = A[3, 2] = 1.0   # vertex 4 isolated
+    W = core_sparse.from_dense(A)
+    L = laplacian_op(W, 'normalized')
+    dense = np.asarray(L.to_dense())
+    assert dense[4, 4] == 0.0
+    assert np.allclose(np.diag(dense)[:4], 1.0)
+
+
+def test_shifted_operator(rng):
+    A = random_sym_adj(rng)
+    W = core_sparse.from_scipy(A)
+    L = laplacian_op(W, 'combinatorial')
+    x = rng.normal(size=(A.shape[0],))
+    shifted = L.shifted(0.7, 1.3)
+    want = 0.7 * (np.asarray(L.to_dense()) @ x - 1.3 * x)
+    assert np.allclose(np.asarray(matvec(shifted, jnp.asarray(x))), want)
+
+
+def test_empty_graph():
+    M = core_sparse.from_coo([], [], [], 4)
+    x = jnp.ones((4,))
+    assert np.allclose(np.asarray(M @ x), 0.0)
