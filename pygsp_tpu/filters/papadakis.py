@@ -1,0 +1,29 @@
+"""Papadakis QMF pair (reference: ``pygsp/filters/papadakis.py:42-58``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pygsp_tpu.filters.filter import Filter
+
+
+class Papadakis(Filter):
+    r"""Low/high pair: 1 on [0, a), ``√((1−sin(3πx/2a))/2)`` on [a, 5a/3)."""
+
+    def __init__(self, G, a=0.75):
+        self.a = a
+
+        def kernel(x):
+            x = x * 2 / G.lmax
+            trans = jnp.sqrt(jnp.clip(
+                (1 - jnp.sin(3 * jnp.pi / (2 * a) * x)) / 2, 0.0))
+            out = jnp.where((x >= 0) & (x < a), 1.0, 0.0)
+            out = jnp.where((x >= a) & (x < a * 5 / 3), trans, out)
+            return out
+
+        low = Filter(G, kernel)
+        complement = low.complement(frame_bound=1)
+        super().__init__(G, low._kernels + complement._kernels)
+
+    def _get_extra_repr(self):
+        return dict(a=f'{self.a:.2f}')

@@ -1,0 +1,71 @@
+"""Barabási–Albert preferential attachment — vectorized repeated-node sampler.
+
+Replaces the reference's per-step LIL writes and full-distribution
+re-normalisation (``pygsp/graphs/barabasialbert.py:43-68``, O(N²) total)
+with the classic "repeated endpoints" array: node v appears deg(v)+1 times,
+so a uniform draw from the array IS the preferential distribution
+P(v) ∝ deg(v)+1 the reference uses. O(|E|) time and memory, which makes the
+BASELINE 100M-edge target generable host-side.
+"""
+
+import numpy as np
+import scipy.sparse as sps
+
+from pygsp_tpu.graphs.graph import Graph
+
+
+def ba_edges(N, m0=1, m=1, seed=None):
+    """Sample BA edge list (each undirected edge once). Returns (src, tgt)."""
+    rng = np.random.default_rng(seed)
+    n_new = N - m0
+    src = np.empty(n_new * m, dtype=np.int64)
+    tgt = np.empty(n_new * m, dtype=np.int64)
+    # rep holds every node once (attractiveness +1) plus once per degree.
+    rep = np.empty(N + 2 * n_new * m, dtype=np.int64)
+    rep[:m0] = np.arange(m0)
+    fill = m0
+    e = 0
+    for i in range(m0, N):
+        # draw m distinct targets from the repeated-endpoint array
+        if m == 1:
+            picks = rep[rng.integers(0, fill, size=1)]
+        else:
+            picks = rep[rng.integers(0, fill, size=2 * m + 4)]
+            picks = np.unique(picks)
+            while picks.size < m:
+                extra = rep[rng.integers(0, fill, size=2 * m)]
+                picks = np.unique(np.concatenate([picks, extra]))
+            picks = rng.permutation(picks)[:m]
+        n_pick = len(picks)
+        src[e:e + n_pick] = i
+        tgt[e:e + n_pick] = picks
+        e += n_pick
+        # targets each gained one degree; node i enters with
+        # attractiveness 1 plus its n_pick new degrees.
+        rep[fill:fill + n_pick] = picks
+        rep[fill + n_pick:fill + 2 * n_pick + 1] = i
+        fill += 1 + 2 * n_pick
+    return src[:e], tgt[:e]
+
+
+class BarabasiAlbert(Graph):
+    """Preferential attachment: each new node links to m earlier nodes with
+    probability proportional to degree+1 (reference semantics)."""
+
+    def __init__(self, N=1000, m0=1, m=1, seed=None, **kwargs):
+        if m > m0:
+            raise ValueError('Parameter m cannot be above parameter m0.')
+        self.m0 = m0
+        self.m = m
+        self.seed = seed
+
+        src, tgt = ba_edges(N, m0, m, seed)
+        W = sps.csr_matrix(
+            (np.ones(2 * len(src)),
+             (np.concatenate([src, tgt]), np.concatenate([tgt, src]))),
+            shape=(N, N))
+        W.data[:] = 1.0
+        super().__init__(W, **kwargs)
+
+    def _get_extra_repr(self):
+        return dict(m0=self.m0, m=self.m, seed=self.seed)

@@ -479,6 +479,15 @@ class Graph:
         from pygsp_tpu.graphs import _io
         return _io.from_networkx(graph_nx, weight=weight)
 
+    def to_graphtool(self):
+        from pygsp_tpu.graphs import _io
+        return _io.to_graphtool(self)
+
+    @classmethod
+    def from_graphtool(cls, graph_gt, weight='weight'):
+        from pygsp_tpu.graphs import _io
+        return _io.from_graphtool(graph_gt, weight=weight)
+
     def save(self, path, fmt=None, backend=None):
         from pygsp_tpu.graphs import _io
         return _io.save(self, path, fmt=fmt, backend=backend)

@@ -1,0 +1,348 @@
+"""Graph reduction: Kron reduction, sparsification, multiresolution pyramids
+(role of ``pygsp/reduction.py``).
+
+Differences from the reference, by design:
+- ``graph_sparsify`` uses ``np.bincount`` instead of the removed
+  ``scipy.stats.itemfreq`` (the reference is broken on modern SciPy,
+  ``reduction.py:115``).
+- the pyramid implements the working direct synthesis path; the reference's
+  least-squares/Landweber variant is dead code (undefined ``reg_esp`` and a
+  missing return, ``reduction.py:593,628-630``) and is not reproduced.
+- Kron reduction solves the Schur complement densely on device for small
+  complements and falls back to SciPy's sparse solver for large ones.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+from scipy.sparse import linalg as spslinalg
+
+from pygsp_tpu import filters as _filters
+from pygsp_tpu import graphs as _graphs
+from pygsp_tpu import utils
+
+logger = utils.build_logger(__name__)
+
+_DENSE_SOLVE_MAX = 4000  # complement size up to which we solve on device
+
+
+def _analysis(g, s, **kwargs):
+    """Filter then stack features Fortran-style (reference
+    ``reduction.py:24-28``)."""
+    s = np.asarray(g.filter(s, **kwargs))
+    while s.ndim < 3:
+        s = np.expand_dims(s, 1)
+    return s.swapaxes(1, 2).reshape(-1, s.shape[1], order='F')
+
+
+def kron_reduction(G, ind):
+    """Schur complement of L onto the kept indices; rebuilds a Graph with
+    the implied weights (reference ``reduction.py:309-381``)."""
+    if isinstance(G, _graphs.Graph):
+        if G.lap_type != 'combinatorial':
+            raise NotImplementedError(
+                f'Unknown reduction for {G.lap_type} Laplacian.')
+        if G.is_directed():
+            raise NotImplementedError(
+                'This method only work for undirected graphs.')
+        L = sps.csr_matrix(G.L.to_scipy())
+    else:
+        L = sps.csr_matrix(G)
+
+    N = L.shape[0]
+    ind = np.asarray(ind)
+    ind_comp = np.setdiff1d(np.arange(N, dtype=int), ind)
+
+    L_red = L[np.ix_(ind, ind)]
+    L_in_out = L[np.ix_(ind, ind_comp)]
+    L_out_in = L[np.ix_(ind_comp, ind)].tocsc()
+    L_comp = L[np.ix_(ind_comp, ind_comp)].tocsc()
+
+    if len(ind_comp) <= _DENSE_SOLVE_MAX:
+        # device dense solve (one LU of the complement block)
+        X = np.asarray(jnp.linalg.solve(jnp.asarray(L_comp.toarray()),
+                                        jnp.asarray(L_out_in.toarray())))
+        Lnew = L_red.toarray() - L_in_out.toarray() @ X
+        Lnew = sps.csr_matrix(Lnew)
+    else:
+        Lnew = L_red - L_in_out.dot(spslinalg.spsolve(L_comp, L_out_in))
+        Lnew = sps.csr_matrix(Lnew)
+
+    # symmetrize tiny asymmetries from the solve
+    if np.abs(Lnew - Lnew.T).sum() < np.spacing(1) * np.abs(Lnew).sum():
+        Lnew = (Lnew + Lnew.T) / 2.0
+
+    if isinstance(G, _graphs.Graph):
+        Wnew = sps.diags(Lnew.diagonal(), 0) - Lnew
+        Snew = Lnew.diagonal() - np.ravel(Wnew.sum(0))
+        if np.linalg.norm(Snew, 2) >= np.spacing(1000):
+            Wnew = Wnew + sps.diags(Snew, 0)
+        Wnew = Wnew.tolil()
+        Wnew.setdiag(0)
+        Wnew = Wnew.tocsr()
+        Wnew.eliminate_zeros()
+
+        coords = G.coords[ind] if G.coords is not None else None
+        return _graphs.Graph(Wnew, coords=coords, lap_type=G.lap_type,
+                             plotting=G.plotting)
+    return Lnew
+
+
+def graph_sparsify(M, epsilon, maxiter=10, seed=None):
+    """Spielman–Srivastava spectral sparsification by effective-resistance
+    sampling (reference ``reduction.py:34-147``; ``itemfreq`` fixed)."""
+    if isinstance(M, _graphs.Graph):
+        if M.lap_type != 'combinatorial':
+            raise NotImplementedError
+        L = sps.csc_matrix(M.L.to_scipy())
+    else:
+        L = sps.csc_matrix(M)
+
+    N = L.shape[0]
+    if not 1.0 / np.sqrt(N) <= epsilon < 1:
+        raise ValueError('GRAPH_SPARSIFY: Epsilon out of required range')
+
+    resistance_distances = utils.resistance_distance(L).toarray()
+    if isinstance(M, _graphs.Graph):
+        W = M.W
+    else:
+        W = sps.diags(L.diagonal()) - L
+        W = W.tocsr()
+        W.data[W.data < 1e-10] = 0
+        W.eliminate_zeros()
+
+    start_nodes, end_nodes, weights = sps.find(sps.tril(W))
+    weights = np.maximum(0, weights)
+    Re = np.maximum(0, resistance_distances[start_nodes, end_nodes])
+    Pe = weights * Re
+    Pe = Pe / np.sum(Pe)
+
+    rng = np.random.default_rng(seed)
+    sparserL = None
+    for i in range(maxiter):
+        C0 = 1 / 30.0
+        C = 4 * C0
+        q = int(round(N * np.log(N) * 9 * C ** 2 / (epsilon ** 2)))
+
+        results = rng.choice(len(Pe), size=q, p=Pe)
+        counts = np.bincount(results, minlength=len(Pe))
+        per_spin_weights = weights / (q * Pe)
+        new_weights = counts * per_spin_weights
+
+        sparserW = sps.csc_matrix((new_weights, (start_nodes, end_nodes)),
+                                  shape=(N, N))
+        sparserW = sparserW + sparserW.T
+        sparserL = sps.diags(sparserW.diagonal(), 0) - sparserW
+
+        n_comp, _ = sps.csgraph.connected_components(sparserW, directed=False)
+        if n_comp == 1:
+            break
+        elif i == maxiter - 1:
+            logger.warning('Despite attempts to reduce epsilon, sparsified '
+                           'graph is disconnected')
+        else:
+            epsilon -= (epsilon - 1 / np.sqrt(N)) / 2.0
+
+    if isinstance(M, _graphs.Graph):
+        sparserW = sps.diags(sparserL.diagonal(), 0) - sparserL
+        if not M.is_directed():
+            sparserW = (sparserW + sparserW.T) / 2.0
+        sparserW = sparserW.tolil()
+        sparserW.setdiag(0)
+        return _graphs.Graph(sparserW.tocsr())
+    return sps.lil_matrix(sparserL)
+
+
+def interpolate(G, f_subsampled, keep_inds, order=100, reg_eps=0.005,
+                **kwargs):
+    """Regularized green-kernel interpolation of a subsampled signal
+    (reference ``reduction.py:150-193``)."""
+    L_reg = sps.csr_matrix(G.L.to_scipy()) + reg_eps * sps.eye(G.N)
+    mr = G.mr if isinstance(G.mr, dict) else {}
+    K_reg = mr.get('K_reg')
+    if K_reg is None:
+        K_reg = kron_reduction(L_reg, keep_inds)
+    green_kernel = mr.get('green_kernel')
+    if green_kernel is None:
+        green_kernel = _filters.Filter(G, lambda x: 1.0 / (reg_eps + x))
+
+    alpha = K_reg.dot(np.asarray(f_subsampled))
+
+    if np.asarray(f_subsampled).ndim > 1:
+        f_interpolated = np.zeros((G.N, np.shape(f_subsampled)[1]))
+    else:
+        f_interpolated = np.zeros(G.N)
+    f_interpolated[np.asarray(keep_inds)] = alpha
+
+    return _analysis(green_kernel, f_interpolated, order=order, **kwargs)
+
+
+def graph_multiresolution(G, levels, sparsify=True, sparsify_eps=None,
+                          downsampling_method='largest_eigenvector',
+                          reduction_method='kron', compute_full_eigen=False,
+                          reg_eps=0.005):
+    """Multiresolution pyramid: downsample by largest-eigenvector polarity,
+    Kron-reduce, optionally sparsify (reference ``reduction.py:196-306``)."""
+    if sparsify_eps is None:
+        sparsify_eps = min(10.0 / np.sqrt(G.N), 0.3)
+
+    if compute_full_eigen:
+        G.compute_fourier_basis()
+    else:
+        G.estimate_lmax()
+
+    Gs = [G]
+    Gs[0].mr = {'idx': np.arange(G.N), 'orig_idx': np.arange(G.N)}
+
+    for i in range(levels):
+        if downsampling_method == 'largest_eigenvector':
+            if Gs[i]._U is not None:
+                V = np.asarray(Gs[i].U[:, -1])
+            else:
+                # largest-eigenvalue eigenvector via a short Lanczos run
+                from pygsp_tpu.ops.lanczos import _lanczos_single
+                import jax
+                key = jax.random.PRNGKey(i)
+                v0 = np.asarray(jax.random.normal(key, (Gs[i].N,)))
+                Vb, H = _lanczos_single(Gs[i].L, jnp.asarray(v0),
+                                        min(40, Gs[i].N))
+                e_h, u_h = np.linalg.eigh(np.asarray(H))
+                V = np.asarray(Vb) @ u_h[:, -1]
+            V = V * np.sign(V[0]) if V[0] != 0 else V
+            ind = np.nonzero(V >= 0)[0]
+        else:
+            raise NotImplementedError('Unknown graph downsampling method.')
+
+        if reduction_method == 'kron':
+            Gs.append(kron_reduction(Gs[i], ind))
+        else:
+            raise NotImplementedError('Unknown graph reduction method.')
+
+        if sparsify and Gs[i + 1].N > 2:
+            Gs[i + 1] = graph_sparsify(
+                Gs[i + 1],
+                min(max(sparsify_eps, 2.0 / np.sqrt(Gs[i + 1].N)), 1.0 - 1e-12))
+
+        if compute_full_eigen:
+            Gs[i + 1].compute_fourier_basis()
+        else:
+            Gs[i + 1].estimate_lmax()
+
+        Gs[i + 1].mr = {'idx': ind, 'orig_idx': Gs[i].mr['orig_idx'][ind],
+                        'level': i}
+
+        L_reg = sps.csr_matrix(Gs[i].L.to_scipy()) + reg_eps * sps.eye(Gs[i].N)
+        Gs[i].mr['K_reg'] = kron_reduction(L_reg, ind)
+        Gs[i].mr['green_kernel'] = _filters.Filter(
+            Gs[i], lambda x, e=reg_eps: 1.0 / (e + x))
+
+    return Gs
+
+
+def pyramid_analysis(Gs, f, **kwargs):
+    """Coarse approximations + prediction errors per level
+    (reference ``reduction.py:384-449``)."""
+    if np.shape(f)[0] != Gs[0].N:
+        raise ValueError('PYRAMID ANALYSIS: The signal to analyze should '
+                         'have the same dimension as the first graph.')
+    levels = len(Gs) - 1
+    h_filters = kwargs.pop('h_filters', lambda x: 1.0 / (2 * x + 1))
+    if not isinstance(h_filters, list):
+        if callable(h_filters):
+            h_filters = [h_filters]
+        else:
+            raise ValueError('Filters must be a list of functions.')
+    if len(h_filters) == 1:
+        h_filters = h_filters * levels
+    elif len(h_filters) != levels:
+        raise ValueError(f'The number of filters must be one or equal '
+                         f'to {levels}.')
+
+    ca = [np.asarray(f, dtype=float)]
+    pe = []
+    for i in range(levels):
+        s_low = _analysis(_filters.Filter(Gs[i], h_filters[i]), ca[i],
+                          **kwargs)
+        ca.append(s_low[Gs[i + 1].mr['idx']])
+        s_pred = interpolate(Gs[i], ca[i + 1], Gs[i + 1].mr['idx'], **kwargs)
+        pe.append(ca[i] - s_pred.reshape(np.shape(ca[i])))
+
+    return ca, pe
+
+
+def pyramid_synthesis(Gs, cap, pe, order=30, **kwargs):
+    """Reconstruct from the coarsest approximation + prediction errors
+    (direct interpolation path; reference ``reduction.py:452-531``)."""
+    reg_eps = float(kwargs.pop('reg_eps', 0.005))
+    levels = len(Gs) - 1
+    if len(pe) != levels:
+        raise ValueError('Gs and pe have different shapes.')
+
+    ca = [np.asarray(cap, dtype=float)]
+    for i in range(levels):
+        s_pred = interpolate(Gs[levels - i - 1], ca[i],
+                             Gs[levels - i].mr['idx'], order=order,
+                             reg_eps=reg_eps, **kwargs)
+        ca.append(s_pred.reshape(np.shape(pe[levels - i - 1]))
+                  + pe[levels - i - 1])
+
+    ca.reverse()
+    return ca[0], ca
+
+
+def tree_multiresolution(G, Nlevel, reduction_method='resistance_distance',
+                         compute_full_eigen=False, root=None):
+    """Tree multiresolution by depth-parity downsampling.
+
+    The reference's implementation is non-functional (undefined ``dsearchn``
+    and friends, ``reduction.py:718-757``); this is a working equivalent:
+    keep the even-depth vertices of a BFS tree, connect each kept vertex to
+    its grandparent, and iterate.
+    """
+    if root is None:
+        root = getattr(G, 'root', 0)
+
+    Gs = [G]
+    subsampled = [np.arange(G.N)]
+    for _ in range(Nlevel):
+        Gi = Gs[-1]
+        order, preds = sps.csgraph.breadth_first_order(
+            Gi.W, min(root, Gi.N - 1), directed=False)
+        depth = np.full(Gi.N, -1)
+        depth[order[0]] = 0
+        for v in order[1:]:
+            depth[v] = depth[preds[v]] + 1
+        keep = np.flatnonzero((depth % 2 == 0) & (depth >= 0))
+        keep_set = {int(v): i for i, v in enumerate(keep)}
+        rows, cols, vals = [], [], []
+        for v in keep:
+            p = preds[v]
+            if p < 0:
+                continue
+            gp = preds[p] if preds[p] >= 0 else p
+            if int(gp) in keep_set and gp != v:
+                rows.append(keep_set[int(v)])
+                cols.append(keep_set[int(gp)])
+                w = Gi.W[v, p]
+                if reduction_method == 'resistance_distance':
+                    w2 = Gi.W[p, gp] if Gi.W[p, gp] != 0 else w
+                    val = 1.0 / (1.0 / w + 1.0 / w2)  # series resistance
+                elif reduction_method == 'unweighted':
+                    val = 1.0
+                else:
+                    raise NotImplementedError('Unknown graph reduction method.')
+                vals.append(val)
+        n_new = len(keep)
+        W = sps.csr_matrix((vals, (rows, cols)), shape=(n_new, n_new))
+        W = utils.symmetrize(W, method='maximum')
+        coords = Gi.coords[keep] if Gi.coords is not None else None
+        Gnew = _graphs.Graph(W, coords=coords)
+        if compute_full_eigen:
+            Gnew.compute_fourier_basis()
+        root = keep_set.get(int(order[0]), 0)
+        Gs.append(Gnew)
+        subsampled.append(keep)
+
+    return Gs, subsampled

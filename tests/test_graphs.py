@@ -1,0 +1,238 @@
+"""Graph core + model zoo tests (patterns from reference test_graphs.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pygsp_tpu as gsp
+from pygsp_tpu import utils
+
+
+def test_graph_validation():
+    with pytest.raises(ValueError):
+        gsp.graphs.Graph(np.ones((3, 4)))
+    with pytest.raises(ValueError):
+        gsp.graphs.Graph([[0, np.nan], [np.nan, 0]])
+    with pytest.raises(ValueError):
+        gsp.graphs.Graph([[0, np.inf], [np.inf, 0]])
+    G = gsp.graphs.Graph([[0, 1], [1, 0]])
+    with pytest.raises(AttributeError):
+        G.W = np.eye(2)
+
+
+def test_degrees_match_reference_convention():
+    G = gsp.graphs.Graph([[0, 1, 0], [1, 0, 2], [0, 2, 0]])
+    assert np.array_equal(G.d, [1, 2, 1])
+    assert np.array_equal(G.dw, [1, 3, 2])
+    Gd = gsp.graphs.Graph([[0, 1, 0], [0, 0, 2], [0, 2, 0]])
+    assert np.allclose(Gd.d, [0.5, 1.5, 1.0])
+    assert np.allclose(Gd.dw, [0.5, 2.5, 2.0])
+
+
+def test_edge_count_and_list():
+    G = gsp.graphs.Graph([[0, 3, 0], [3, 0, 4], [0, 4, 0]])
+    assert G.n_edges == 2
+    s, t, w = G.get_edge_list()
+    assert list(s) == [0, 1] and list(t) == [1, 2] and list(w) == [3, 4]
+    Gd = gsp.graphs.Graph([[0, 3, 0], [3, 0, 4], [0, 0, 0]])
+    assert Gd.is_directed() and Gd.n_edges == 3
+
+
+def test_laplacian_directed_symmetrization():
+    Gd = gsp.graphs.Graph([[0, 2, 0], [0, 0, 1], [0, 0, 0]])
+    L = np.asarray(Gd.L.to_dense())
+    W_avg = np.array([[0, 1, 0], [1, 0, .5], [0, .5, 0]])
+    L_ref = np.diag(W_avg.sum(1)) - W_avg
+    assert np.allclose(L, L_ref)
+
+
+def test_dirichlet_energy():
+    G = gsp.graphs.Path(10)
+    x = np.arange(10.0)
+    # sum over edges w_ij (x_i - x_j)^2 = 9 for the unit-weight path
+    assert np.isclose(float(G.dirichlet_energy(x)), 9.0)
+
+
+def test_D_L_identity(rng):
+    """L = D Dᵀ (doctest graph.py:582-586) via grad/div composition."""
+    for lap_type in ('combinatorial', 'normalized'):
+        G = gsp.graphs.Sensor(50, seed=1, lap_type=lap_type)
+        G.compute_differential_operator()
+        x = rng.normal(size=G.N)
+        lhs = np.asarray(G.div(G.grad(x)))
+        rhs = np.asarray(G.L.dot(x))
+        assert np.allclose(lhs, rhs, atol=1e-10), lap_type
+
+
+def test_subgraph_and_components():
+    G = gsp.graphs.Graph([[0, 3, 0, 0], [3, 0, 4, 0], [0, 4, 0, 0],
+                          [0, 0, 0, 0]])
+    sub = G.subgraph([0, 1, 2])
+    assert sub.N == 3 and sub.Ne == 2
+    comps = G.extract_components()
+    assert sorted(c.N for c in comps) == [1, 3]
+    assert not G.is_connected()
+
+
+def test_estimate_lmax_vs_true():
+    G = gsp.graphs.FullConnected(10)  # lmax = N for full graph
+    G.estimate_lmax(method='bounds')
+    assert np.isclose(G.lmax, 10.0)
+    G2 = gsp.graphs.FullConnected(10)
+    G2.estimate_lmax(method='lanczos')
+    assert 10.0 - 1e-6 <= G2.lmax <= 10.2
+    # normalized Laplacian of bipartite graph has lmax = 2
+    G3 = gsp.graphs.Path(10, lap_type='normalized')
+    G3.estimate_lmax(method='bounds')
+    assert np.isclose(G3.lmax, 2.0)
+
+
+def test_gft_roundtrip(rng):
+    G = gsp.graphs.Sensor(40, seed=3)
+    G.compute_fourier_basis()
+    s = rng.normal(size=(G.N, 3))
+    rec = np.asarray(G.igft(G.gft(s)))
+    assert np.allclose(rec, s, atol=1e-10)
+    assert float(G.e[0]) == 0.0
+    assert G.coherence < 1
+
+
+ZOO = [
+    ('Logo', dict(), 1130),
+    ('Minnesota', dict(), 2642),
+    ('Airfoil', dict(), 4253),
+    ('Grid2d', dict(N1=5, N2=4), 20),
+    ('Path', dict(N=12), 12),
+    ('Ring', dict(N=12, k=2), 12),
+    ('Torus', dict(Nv=4, Mv=5), 20),
+    ('Comet', dict(N=15, k=4), 15),
+    ('Star', dict(N=8), 8),
+    ('FullConnected', dict(N=7), 7),
+    ('LowStretchTree', dict(k=3), 64),
+    ('RandomRing', dict(N=12, seed=1), 12),
+    ('DavidSensorNet', dict(N=64), 64),
+    ('StochasticBlockModel', dict(N=120, k=3, seed=2), 120),
+    ('ErdosRenyi', dict(N=60, p=0.2, seed=2), 60),
+    ('BarabasiAlbert', dict(N=60, seed=2), 60),
+    ('RandomRegular', dict(N=20, k=4, seed=2), 20),
+    ('Community', dict(N=80, seed=2), 80),
+    ('SwissRoll', dict(N=60, seed=2), 60),
+    ('Sensor', dict(N=30, seed=2), 30),
+    ('Bunny', dict(), 2503),
+    ('Cube', dict(nb_pts=60, seed=2), 60),
+    ('Sphere', dict(nb_pts=60, seed=2), 60),
+    ('TwoMoons', dict(), 2000),
+]
+
+
+@pytest.mark.parametrize('name,kwargs,n', ZOO)
+def test_zoo_constructs(name, kwargs, n):
+    G = getattr(gsp.graphs, name)(**kwargs)
+    assert G.N == n
+    assert G.W.shape == (n, n)
+    assert G.Ne >= 0
+    repr(G)
+
+
+@pytest.mark.parametrize('name,kwargs', [
+    ('Logo', dict()), ('Minnesota', dict()), ('Airfoil', dict()),
+    ('Grid2d', dict(N1=5, N2=4)), ('Path', dict(N=12)),
+    ('Torus', dict(Nv=4, Mv=5)), ('Comet', dict(N=15, k=4)),
+    ('LowStretchTree', dict(k=3)), ('DavidSensorNet', dict(N=64)),
+    ('Bunny', dict()),
+])
+def test_zoo_matches_reference(pygsp_ref, name, kwargs):
+    """Deterministic generators must produce the exact same adjacency."""
+    G = getattr(gsp.graphs, name)(**kwargs)
+    Gr = getattr(pygsp_ref.graphs, name)(**kwargs)
+    assert G.N == Gr.N and G.Ne == Gr.Ne
+    # identical sparsity; values equal up to fp noise in kernel evaluation
+    assert (abs(G.W - Gr.W) > 1e-6).nnz == 0
+    if G.coords is not None and Gr.coords is not None:
+        assert np.allclose(np.asarray(G.coords, dtype=float),
+                           np.asarray(Gr.coords, dtype=float))
+
+
+def test_ring_matches_reference(pygsp_ref):
+    # 2k < N cases match the reference exactly.  The 2k == N case is NOT
+    # compared: the reference's antipodal branch is buggy (it assigns
+    # i_inds twice and never j_inds, ring.py:82-84, producing self-loops);
+    # ours builds the correct antipodal ring (checked below).
+    for k in (1, 3, 5):
+        G = gsp.graphs.Ring(12, k=k)
+        Gr = pygsp_ref.graphs.Ring(12, k=k)
+        assert abs(G.W - Gr.W).max() < 1e-12, k
+    G = gsp.graphs.Ring(12, k=6)
+    assert not G.has_loops()
+    assert np.all(G.d == 11)
+    assert G.Ne == 12 * 5 + 6
+
+
+def test_sbm_statistics():
+    """Vectorized SBM must match the ensemble statistics."""
+    G = gsp.graphs.StochasticBlockModel(N=600, k=3, p=0.5, q=0.05, seed=0)
+    z = G.z
+    W = G.W.toarray()
+    for a in range(3):
+        for b in range(3):
+            block = W[np.ix_(z == a, z == b)]
+            if a == b:
+                density = block.sum() / (block.shape[0] * (block.shape[0] - 1))
+                assert abs(density - 0.5) < 0.05
+            else:
+                density = block.mean()
+                assert abs(density - 0.05) < 0.02
+
+
+def test_ba_power_law():
+    G = gsp.graphs.BarabasiAlbert(N=2000, seed=0)
+    d = G.d
+    assert G.Ne == 1999           # tree: N-1 edges for m=1
+    assert d.max() > 20           # hubs exist under preferential attachment
+
+
+def test_random_regular_is_regular():
+    G = gsp.graphs.RandomRegular(N=30, k=4, seed=0)
+    assert np.all(G.d == 4)
+
+
+def test_networkx_roundtrip(rng):
+    G = gsp.graphs.Sensor(20, seed=1)
+    G.set_signal('sig', rng.normal(size=20))
+    nxg = G.to_networkx()
+    G2 = gsp.graphs.Graph.from_networkx(nxg)
+    assert np.allclose(G2.W.toarray(), G.W.toarray())
+    assert np.allclose(G2.signals['sig'], G.signals['sig'])
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    G = gsp.graphs.Sensor(15, seed=1)
+    G.set_signal('x', rng.normal(size=15))
+    path = str(tmp_path / 'g.graphml')
+    G.save(path)
+    G2 = gsp.graphs.Graph.load(path)
+    assert np.allclose(G2.W.toarray(), G.W.toarray(), atol=1e-12)
+
+
+def test_set_coordinates():
+    G = gsp.graphs.Ring(10)
+    for kind in ('line1D', 'line2D', 'ring2D', 'random2D', 'random3D',
+                 'spring', 'laplacian_eigenmap2D', 'laplacian_eigenmap3D'):
+        G.set_coordinates(kind, seed=42)
+        assert G.coords.shape[0] == 10
+    with pytest.raises(ValueError):
+        G.set_coordinates('bogus')
+
+
+def test_symmetrize_methods():
+    W = np.array([[0, 3, 0], [3, 1, 6], [4, 2, 3]], dtype=float)
+    assert np.allclose(utils.symmetrize(W, 'average'),
+                       [[0, 3, 2], [3, 1, 4], [2, 4, 3]])
+    assert np.allclose(utils.symmetrize(W, 'maximum'),
+                       [[0, 3, 4], [3, 1, 6], [4, 6, 3]])
+    assert np.allclose(utils.symmetrize(W, 'fill'),
+                       [[0, 3, 4], [3, 1, 4], [4, 4, 3]])
+    assert np.allclose(utils.symmetrize(W, 'tril'),
+                       [[0, 3, 4], [3, 1, 2], [4, 2, 3]])
+    assert np.allclose(utils.symmetrize(W, 'triu'),
+                       [[0, 3, 0], [3, 1, 6], [0, 6, 3]])

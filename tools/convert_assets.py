@@ -31,7 +31,12 @@ def convert(name: str) -> None:
             out[f'{key}__sparse_data'] = coo.data
             out[f'{key}__sparse_shape'] = np.array(coo.shape)
         else:
-            out[key] = np.asarray(value)
+            value = np.asarray(value)
+            if value.dtype == object:
+                # matlab cell arrays of strings → flat unicode array
+                value = np.array([np.asarray(v).item() if np.asarray(v).size
+                                  else '' for v in value.ravel()])
+            out[key] = value
     os.makedirs(DST, exist_ok=True)
     np.savez_compressed(os.path.join(DST, name + '.npz'), **out)
     print(name, {k: getattr(v, 'shape', v) for k, v in out.items()})
