@@ -1,0 +1,149 @@
+"""Benchmark: K=30 Chebyshev heat filterbank throughput (edges/s/chip).
+
+Primary BASELINE.json metric. Measures the hot path — the shared-SpMM
+Chebyshev recurrence — on a Barabási–Albert graph on the available device
+(TPU when present), and compares against the reference algorithm's
+SciPy-CSR arithmetic on host CPU (the reference publishes no numbers, so
+`vs_baseline` is the measured speedup over the reference implementation on
+the same graph and task).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     '.bench_cache')
+
+# Bench configuration (sized for one chip; BA ~8.4M stored edges)
+N = 1 << 20
+M_ATTACH = 8
+K_ORDER = 30
+N_SIGNALS = 128
+N_FILTERS = 4
+SCALES = [5.0, 10.0, 25.0, 50.0]
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def get_graph():
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f'ba_{N}_{M_ATTACH}.npz')
+    if os.path.exists(path):
+        with np.load(path) as d:
+            return d['src'], d['tgt']
+    from pygsp_tpu.graphs.barabasialbert import ba_edges
+    t0 = time.time()
+    src, tgt = ba_edges(N, m0=M_ATTACH, m=M_ATTACH, seed=42)
+    log(f'BA graph generated in {time.time() - t0:.1f}s: {len(src)} edges')
+    np.savez(path, src=src, tgt=tgt)
+    return src, tgt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    src, tgt = get_graph()
+    # symmetric COO (both directions), unit weights
+    import scipy.sparse as sps
+    W = sps.csr_matrix(
+        (np.ones(2 * len(src), dtype=np.float32),
+         (np.concatenate([src, tgt]), np.concatenate([tgt, src]))),
+        shape=(N, N))
+    W.data[:] = 1.0
+    W.sum_duplicates()
+    nnz = W.nnz
+    log(f'graph: N={N}, nnz={nnz}')
+
+    dw = np.ravel(W.sum(axis=1)).astype(np.float32)
+    lmax = float(2 * dw.max())  # Gershgorin bound; exactness irrelevant here
+
+    from pygsp_tpu.core import sparse as core_sparse
+    from pygsp_tpu.core.operators import LaplacianOp
+    from pygsp_tpu.ops import chebyshev as cheby
+
+    t0 = time.time()
+    Wneg = W.copy()
+    Wneg.data = -Wneg.data
+    H = core_sparse.ell_from_scipy(Wneg, dtype=np.float32)
+    L = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
+                    lap_type='combinatorial')
+    log(f'device graph built in {time.time() - t0:.1f}s; '
+        f'ell_width={H.ell_width}; device={jax.devices()[0]}')
+
+    def evaluate(lam):
+        return jnp.exp(-jnp.asarray(SCALES, jnp.float32)[:, None]
+                       * lam[None, :] / lmax)
+
+    c = cheby.cheby_coeff(evaluate, lmax, m=K_ORDER, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(N, N_SIGNALS)).astype(np.float32))
+
+    # L passed as a pytree ARGUMENT: closing over it would inline the edge
+    # arrays as compile-time constants (compile-time/memory blowup).
+    run = jax.jit(lambda L, c, x: cheby.cheby_op(L, lmax, c, x))
+    t0 = time.time()
+    out = run(L, c, x)
+    jax.block_until_ready(out)
+    log(f'compile+first run: {time.time() - t0:.1f}s')
+
+    n_iter = 10
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = run(L, c, x)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n_iter
+    # edge-operations per second: each of the K SpMM steps touches every
+    # stored edge once per signal column (shared across the Nf filters).
+    edge_ops = K_ORDER * nnz * N_SIGNALS
+    tpu_eps = edge_ops / dt
+    log(f'device: {dt*1e3:.1f} ms/filterbank  -> {tpu_eps:.3e} edge-ops/s')
+
+    # ---- reference implementation (SciPy CSR, reference cheby_op math) ----
+    # throughput is per-edge-op, so measure on a column subsample to keep
+    # the bench fast; the metric is work-normalized.
+    cpu_eps = reference_cpu_eps(W, lmax, np.asarray(c), np.asarray(x)[:, :8])
+    log(f'reference scipy: {cpu_eps:.3e} edge-ops/s')
+
+    print(json.dumps({
+        'metric': 'cheby_K30_heatbank_edge_ops_per_s',
+        'value': tpu_eps,
+        'unit': 'edge-ops/s/chip',
+        'vs_baseline': tpu_eps / cpu_eps,
+    }))
+
+
+def reference_cpu_eps(W, lmax, c, x):
+    """Reference algorithm arithmetic (``approximations.py:58-114``) with
+    SciPy CSR on host — the baseline implementation."""
+    import scipy.sparse as sps
+    L = sps.diags(np.ravel(W.sum(axis=1))) - W
+    L = L.tocsr().astype(np.float32)
+    a1 = a2 = lmax / 2
+    nf, m1 = c.shape
+
+    t0 = time.time()
+    twf_old = x
+    twf_cur = (L.dot(x) - a2 * x) / a1
+    r = [0.5 * c[i, 0] * twf_old + c[i, 1] * twf_cur for i in range(nf)]
+    for k in range(2, m1):
+        twf_new = (2.0 / a1) * (L.dot(twf_cur) - a2 * twf_cur) - twf_old
+        for i in range(nf):
+            r[i] += c[i, k] * twf_new
+        twf_old, twf_cur = twf_cur, twf_new
+    dt = time.time() - t0
+    edge_ops = (m1 - 1) * L.nnz * x.shape[1]
+    return edge_ops / dt
+
+
+if __name__ == '__main__':
+    main()

@@ -58,10 +58,18 @@ class LaplacianOp:
     def shifted(self, scale: jax.Array, shift: jax.Array) -> 'LaplacianOp':
         """Operator ``scale * (L - shift*I)`` with the shift fused into diag."""
         return LaplacianOp(
-            offdiag=self.offdiag.with_vals(self.offdiag.vals * scale),
+            offdiag=self.offdiag.scale_vals(scale),
             diag=(self.diag - shift) * scale,
             lap_type=self.lap_type,
         )
+
+    def to_hybrid(self, width: int | None = None) -> 'LaplacianOp':
+        """Convert the off-diagonal block to the scatter-free hybrid
+        ELL(+tail) format — the TPU fast path (see ``sparse.ELLMatrix``)."""
+        if isinstance(self.offdiag, sp.ELLMatrix):
+            return self
+        return LaplacianOp(offdiag=sp.to_ell(self.offdiag, width=width),
+                           diag=self.diag, lap_type=self.lap_type)
 
     def to_dense(self) -> jax.Array:
         dense = sp.to_dense(self.offdiag)

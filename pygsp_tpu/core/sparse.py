@@ -77,6 +77,9 @@ class CSRMatrix:
         """Same sparsity pattern, new values (shape (E_pad,))."""
         return dataclasses.replace(self, vals=vals)
 
+    def scale_vals(self, scale) -> 'CSRMatrix':
+        return dataclasses.replace(self, vals=self.vals * scale)
+
     # ---- linear algebra -------------------------------------------------
 
     def __matmul__(self, x):
@@ -207,14 +210,17 @@ def to_dense(mat: CSRMatrix) -> jax.Array:
 # SpMM (reference implementation; the Pallas kernel lives in ops/)
 # ---------------------------------------------------------------------------
 
-def spmm(mat: CSRMatrix, x: jax.Array) -> jax.Array:
+def spmm(mat, x: jax.Array) -> jax.Array:
     """``y = A @ x`` for x of shape (n_cols,) or (n_cols, ...).
 
     Gather-multiply-segment-sum form: the TPU-native replacement for the
     reference's ``G.L.dot(signal)`` (``filters/approximations.py:99``).
     Padding edges carry zero values and out-of-range row ids, so they are
-    dropped by the segment reduction.
+    dropped by the segment reduction. ELLMatrix operands dispatch to the
+    scatter-free hybrid path.
     """
+    if isinstance(mat, ELLMatrix):
+        return ell_spmm(mat, x)
     gathered = x[mat.cols]  # out-of-range padding cols clamp under jit
     if x.ndim == 1:
         contrib = mat.vals * gathered
@@ -222,3 +228,256 @@ def spmm(mat: CSRMatrix, x: jax.Array) -> jax.Array:
         contrib = mat.vals.reshape((-1,) + (1,) * (x.ndim - 1)) * gathered
     return jax.ops.segment_sum(contrib, mat.rows, num_segments=mat.n_rows,
                                indices_are_sorted=True)
+
+
+# ---------------------------------------------------------------------------
+# Multi-level ELL format (TPU fast path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=['rows', 'cols', 'vals'], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class ELLLevel:
+    """One overflow level: ``rows`` (R,) unique row ids; ``cols``/``vals``
+    (R, w) slot blocks holding those rows' next w edges."""
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=['ell_cols', 'ell_vals', 'levels', 'rowptr'],
+         meta_fields=['n_rows', 'n_cols', 'nnz', 'ell_width'])
+@dataclasses.dataclass(frozen=True)
+class ELLMatrix:
+    """Multi-level ELL: scatter-free level 0 + unique-row overflow levels.
+
+    Why: on TPU, XLA lowers segment-sum to scatter-add which SERIALIZES
+    duplicate indices — a power-law hub row with thousands of edges
+    becomes a thousands-long sequential chain (measured ~200ns/edge on a
+    BA graph vs ~7ns for gathers). This format never feeds the scatter a
+    duplicate index:
+
+    - level 0: every row owns ``ell_width`` slots; SpMM is gather +
+      per-row dense reduction (no scatter at all);
+    - level ℓ ≥ 1: the rows still overflowing get geometrically wider slot
+      blocks; each level's partial sums land with ``y.at[rows].add`` where
+      ``rows`` are UNIQUE — a fully parallel scatter.
+
+    Slot padding: ``col == n_cols`` (clamped gather), ``val == 0``.
+    """
+
+    ell_cols: jax.Array       # (n_rows_pad, ell_width) int32
+    ell_vals: jax.Array       # (n_rows_pad, ell_width)
+    levels: tuple             # tuple[ELLLevel, ...]
+    rowptr: jax.Array         # (n_rows+1,) int32 true degrees
+    n_rows: int
+    n_cols: int
+    nnz: int
+    ell_width: int
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.ell_vals.dtype
+
+    def astype(self, dtype) -> 'ELLMatrix':
+        return dataclasses.replace(
+            self, ell_vals=self.ell_vals.astype(dtype),
+            levels=tuple(dataclasses.replace(l, vals=l.vals.astype(dtype))
+                         for l in self.levels))
+
+    def scale_vals(self, scale) -> 'ELLMatrix':
+        return dataclasses.replace(
+            self, ell_vals=self.ell_vals * scale,
+            levels=tuple(dataclasses.replace(l, vals=l.vals * scale)
+                         for l in self.levels))
+
+    def __matmul__(self, x):
+        return ell_spmm(self, x)
+
+
+def _slot_block_sum(cols, vals, x, chunk: int = 8):
+    """Σ_d vals[:, d] * x[cols[:, d]] as a buffer-reusing scan over width
+    chunks (peak memory O(chunk · R · S); bulk 3-D gathers or fully
+    unrolled slot loops blow HBM at BASELINE scale)."""
+    bshape = (-1,) + (1,) * (x.ndim - 1)
+    width = cols.shape[1]
+    chunk = min(chunk, width)
+    n_chunks = width // chunk
+    rem = width - n_chunks * chunk
+
+    def chunk_sum(cols_c, vals_c):
+        term = None
+        for j in range(cols_c.shape[1]):
+            t = vals_c[:, j].reshape(bshape) * x[cols_c[:, j]]
+            term = t if term is None else term + t
+        return term
+
+    out_shape = (cols.shape[0],) + x.shape[1:]
+    if n_chunks > 1:
+        cols_s = cols[:, :n_chunks * chunk].reshape(
+            -1, n_chunks, chunk).transpose(1, 0, 2)
+        vals_s = vals[:, :n_chunks * chunk].reshape(
+            -1, n_chunks, chunk).transpose(1, 0, 2)
+
+        def body(acc, cv):
+            return acc + chunk_sum(*cv), None
+
+        y, _ = jax.lax.scan(body, jnp.zeros(out_shape, x.dtype),
+                            (cols_s, vals_s))
+    elif n_chunks == 1:
+        y = chunk_sum(cols[:, :chunk], vals[:, :chunk])
+    else:
+        y = jnp.zeros(out_shape, x.dtype)
+    if rem:
+        y = y + chunk_sum(cols[:, n_chunks * chunk:],
+                          vals[:, n_chunks * chunk:])
+    return y
+
+
+def ell_spmm(mat: ELLMatrix, x: jax.Array) -> jax.Array:
+    """``y = A @ x`` for the multi-level ELL format (see class docstring)."""
+    y = _slot_block_sum(mat.ell_cols, mat.ell_vals, x)[:mat.n_rows]
+    for level in mat.levels:
+        partial_sum = _slot_block_sum(level.cols, level.vals, x)
+        y = y.at[level.rows].add(partial_sum, mode='drop',
+                                 unique_indices=True)
+    return y
+
+
+def to_ell(mat: CSRMatrix, width: int | None = None,
+           row_block: int = ROW_BLOCK, level_factor: int = 2) -> ELLMatrix:
+    """Host-side conversion CSR → multi-level ELL.
+
+    Default level-0 width ≈ the mean degree (slot padding is what you pay
+    for scatter-freedom, so the width tracks the typical row); overflow
+    rows get levels of geometrically increasing width (×``level_factor``,
+    default 2 — measured best padding/levels trade-off on BA graphs).
+    """
+    rowptr = np.asarray(mat.rowptr)
+    rows = np.asarray(mat.rows)[:mat.nnz]
+    cols = np.asarray(mat.cols)[:mat.nnz]
+    vals = np.asarray(mat.vals)[:mat.nnz]
+    n = mat.n_rows
+    deg = np.diff(rowptr)
+
+    if width is None:
+        if mat.nnz == 0 or n == 0:
+            width = 8
+        else:
+            mean = max(1, int(np.ceil(mat.nnz / n)))
+            width = max(_round_up(mean, 8), 8)
+
+    n_pad = max(_round_up(n, row_block), row_block)
+    pos = np.arange(mat.nnz) - rowptr[rows]       # slot index within row
+
+    ell_cols = np.full((n_pad, width), mat.n_cols, dtype=np.int32)
+    ell_vals = np.zeros((n_pad, width), dtype=vals.dtype)
+    in0 = pos < width
+    ell_cols[rows[in0], pos[in0]] = cols[in0]
+    ell_vals[rows[in0], pos[in0]] = vals[in0]
+
+    levels = []
+    base = width
+    w = max(_round_up(width * (level_factor - 1), 8), 8)
+    while True:
+        over = pos >= base
+        if not over.any():
+            break
+        lrows = np.unique(rows[over])
+        remaining_max = int((deg[lrows] - base).max())
+        w = min(w, max(_round_up(remaining_max, 8), 8))
+        sel = over & (pos < base + w)
+        lmap = np.full(n, -1, np.int64)
+        lmap[lrows] = np.arange(len(lrows))
+        lc = np.full((len(lrows), w), mat.n_cols, dtype=np.int32)
+        lv = np.zeros((len(lrows), w), dtype=vals.dtype)
+        lc[lmap[rows[sel]], pos[sel] - base] = cols[sel]
+        lv[lmap[rows[sel]], pos[sel] - base] = vals[sel]
+        levels.append(ELLLevel(rows=jnp.asarray(lrows, jnp.int32),
+                               cols=jnp.asarray(lc), vals=jnp.asarray(lv)))
+        base += w
+        w = max(_round_up(w * level_factor, 8), 8)
+
+    return ELLMatrix(
+        ell_cols=jnp.asarray(ell_cols), ell_vals=jnp.asarray(ell_vals),
+        levels=tuple(levels), rowptr=mat.rowptr, n_rows=n,
+        n_cols=mat.n_cols, nnz=mat.nnz, ell_width=width)
+
+
+def ell_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int,
+                      *, width: int | None = None, level_factor: int = 2,
+                      row_block: int = ROW_BLOCK) -> ELLMatrix:
+    """Build a multi-level ELL directly from host COO (row-sorted, deduped).
+
+    One device push of the final slot arrays only — avoids materialising a
+    device CSR first (on a remote-tunnel TPU the extra ~2x transfers of
+    padded COO dominate graph-build time).
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals)
+    n = n_rows
+    counts = np.bincount(rows, minlength=n) if rows.size else np.zeros(n, np.int64)
+    rowptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=rowptr[1:])
+    deg = counts
+
+    if width is None:
+        if rows.size == 0 or n == 0:
+            width = 8
+        else:
+            mean = max(1, int(np.ceil(rows.size / n)))
+            width = max(_round_up(mean, 8), 8)
+
+    n_pad = max(_round_up(n, row_block), row_block)
+    pos = np.arange(rows.size) - rowptr[rows]
+
+    ell_cols = np.full((n_pad, width), n_cols, dtype=np.int32)
+    ell_vals = np.zeros((n_pad, width), dtype=vals.dtype)
+    in0 = pos < width
+    ell_cols[rows[in0], pos[in0]] = cols[in0]
+    ell_vals[rows[in0], pos[in0]] = vals[in0]
+
+    levels = []
+    base = width
+    w = max(_round_up(width, 8), 8)
+    maxdeg = int(deg.max()) if n else 0
+    while base < maxdeg:
+        over = pos >= base
+        lrows = np.unique(rows[over])
+        remaining_max = int((deg[lrows] - base).max())
+        w = min(w, max(_round_up(remaining_max, 8), 8))
+        sel = over & (pos < base + w)
+        lmap = np.full(n, -1, np.int64)
+        lmap[lrows] = np.arange(len(lrows))
+        lc = np.full((len(lrows), w), n_cols, dtype=np.int32)
+        lv = np.zeros((len(lrows), w), dtype=vals.dtype)
+        lc[lmap[rows[sel]], pos[sel] - base] = cols[sel]
+        lv[lmap[rows[sel]], pos[sel] - base] = vals[sel]
+        levels.append(ELLLevel(rows=jnp.asarray(lrows, jnp.int32),
+                               cols=jnp.asarray(lc), vals=jnp.asarray(lv)))
+        base += w
+        w = max(_round_up(w * level_factor, 8), 8)
+
+    return ELLMatrix(
+        ell_cols=jnp.asarray(ell_cols), ell_vals=jnp.asarray(ell_vals),
+        levels=tuple(levels), rowptr=jnp.asarray(rowptr, jnp.int32),
+        n_rows=n, n_cols=n_cols, nnz=int(rows.size), ell_width=width)
+
+
+def ell_from_scipy(mat, *, dtype=None, width: int | None = None,
+                   level_factor: int = 2) -> ELLMatrix:
+    """scipy sparse → multi-level ELL with a single host→device push."""
+    csr = mat.tocsr()
+    csr.sum_duplicates()
+    coo = csr.tocoo()
+    vals = coo.data if dtype is None else coo.data.astype(dtype)
+    return ell_from_host_coo(coo.row, coo.col, vals,
+                             coo.shape[0], coo.shape[1], width=width,
+                             level_factor=level_factor)

@@ -1,0 +1,15 @@
+"""Multi-chip execution: graph partitioning + sharded spectral ops.
+
+The reference is single-process (SURVEY §2.6); this package is the
+new-first-class scale-out layer: a 1-D vertex/edge partition of the graph
+over a ``jax.sharding.Mesh`` axis, per-Chebyshev-step halo exchange of
+boundary vertex values compiled to one ``all_to_all`` over ICI, and the
+signal/feature axis optionally sharded as data parallelism.
+"""
+
+from pygsp_tpu.parallel.partition import ShardedGraph, partition_graph
+from pygsp_tpu.parallel.sharded import (
+    sharded_matvec, sharded_cheby_op, make_mesh)
+
+__all__ = ['ShardedGraph', 'partition_graph', 'sharded_matvec',
+           'sharded_cheby_op', 'make_mesh']

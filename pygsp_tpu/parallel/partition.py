@@ -1,0 +1,208 @@
+"""Host-side graph partitioner for multi-chip execution.
+
+Builds a :class:`ShardedGraph`: a 1-D contiguous vertex partition (optionally
+after a bandwidth-reducing reverse-Cuthill–McKee reordering to shrink the
+boundary) with, per shard,
+
+- the local Laplacian slice in padded COO (local rows, *extended* column
+  indexing: ``[0, n_local)`` = owned vertices, ``[n_local, n_local + H)`` =
+  received halo slots),
+- uniform-size halo send maps (``send_idx[d]`` = local vertex ids shard
+  ``self`` must ship to shard ``d`` each SpMM step),
+
+so the sharded matvec is: one ``all_to_all`` of gathered send rows + one
+gather/segment-sum over local edges — all shapes static and identical
+across shards (a ``shard_map`` requirement).
+
+Replaces the role scipy CSR storage plays in the reference's
+``cheby_op`` (``pygsp/filters/approximations.py:99``) at multi-chip scale.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=['rows', 'cols', 'vals', 'diag', 'send_idx', 'perm'],
+         meta_fields=['n_shards', 'n_local', 'halo_size', 'n_vertices',
+                      'lap_type'])
+@dataclasses.dataclass(frozen=True)
+class ShardedGraph:
+    """Stacked per-shard arrays (leading axis = shard = mesh 'graph' axis).
+
+    rows: (S, E) int32 — local row of each edge (n_local ⇒ padding).
+    cols: (S, E) int32 — extended-local column index of each edge.
+    vals: (S, E) — Laplacian off-diagonal values (−w, possibly normalized).
+    diag: (S, n_local) — Laplacian diagonal of owned vertices.
+    send_idx: (S, S, H) int32 — send_idx[s, d] = local ids shard s ships to
+        shard d (n_local ⇒ padding slot, contributes zeros).
+    perm: (N,) int32 — vertex reordering applied (original → position).
+    """
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    diag: jax.Array
+    send_idx: jax.Array
+    perm: jax.Array
+    n_shards: int
+    n_local: int
+    halo_size: int
+    n_vertices: int
+    lap_type: str
+
+    @property
+    def n_padded(self) -> int:
+        return self.n_shards * self.n_local
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def pad_signal(self, x):
+        """Host helper: reorder + zero-pad a (N, ...) signal to (S*n_local, ...)."""
+        x = np.asarray(x)
+        out = np.zeros((self.n_padded,) + x.shape[1:], dtype=x.dtype)
+        out[np.asarray(self.perm)] = x
+        return jnp.asarray(out)
+
+    def unpad_signal(self, y):
+        """Inverse of :meth:`pad_signal` (device array in, device array out)."""
+        return jnp.asarray(y)[jnp.asarray(self.perm)]
+
+
+def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
+                    reorder: str = 'rcm', dtype=None) -> ShardedGraph:
+    """Partition a symmetric scipy adjacency into a :class:`ShardedGraph`.
+
+    reorder: 'rcm' (reverse Cuthill–McKee, minimizes boundary volume for
+    mesh-like graphs), 'none' (keep order — SBM graphs sorted by community
+    are already block-local).
+    """
+    W = sps.csr_matrix(W)
+    N = W.shape[0]
+    if dtype is None:
+        dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+
+    if reorder == 'rcm':
+        order = sps.csgraph.reverse_cuthill_mckee(W, symmetric_mode=True)
+    elif reorder == 'none':
+        order = np.arange(N)
+    else:
+        raise ValueError(f'Unknown reorder {reorder!r}')
+    perm = np.empty(N, dtype=np.int64)
+    perm[order] = np.arange(N)          # original id -> new position
+    Wp = W[order][:, order].tocsr()
+
+    n_local = _round_up(int(np.ceil(N / n_shards)), 8)
+    n_pad = n_shards * n_local
+
+    # Laplacian values on the reordered graph
+    dw = np.ravel(Wp.sum(axis=1))
+    coo = Wp.tocoo()
+    if lap_type == 'combinatorial':
+        vals_all = -coo.data.astype(dtype)
+        diag_all = dw.astype(dtype)
+    elif lap_type == 'normalized':
+        d = np.where(dw > 0, dw, 1.0) ** -0.5
+        d = np.where(dw > 0, d, 0.0)
+        vals_all = (-coo.data * d[coo.row] * d[coo.col]).astype(dtype)
+        diag_all = np.where(dw > 0, 1.0, 0.0).astype(dtype)
+    else:
+        raise ValueError(f'Unknown lap_type {lap_type!r}')
+
+    rows_all, cols_all = coo.row, coo.col
+    shard_of = rows_all // n_local
+
+    # per-shard edge lists + halo column discovery
+    per_rows, per_cols_ext, per_vals = [], [], []
+    halo_ids = []      # per shard: sorted unique remote global (reordered) ids
+    for s in range(n_shards):
+        msk = shard_of == s
+        r = rows_all[msk] - s * n_local
+        c = cols_all[msk]
+        v = vals_all[msk]
+        local_lo, local_hi = s * n_local, (s + 1) * n_local
+        is_local = (c >= local_lo) & (c < local_hi)
+        remote = np.unique(c[~is_local])
+        remote_pos = {g: i for i, g in enumerate(remote)}
+        c_ext = np.where(is_local, c - local_lo, 0)
+        if len(remote):
+            c_ext = c_ext.copy()
+            idx_rem = np.nonzero(~is_local)[0]
+            c_ext[idx_rem] = n_local + np.array(
+                [remote_pos[g] for g in c[idx_rem]])
+        per_rows.append(r)
+        per_cols_ext.append(c_ext)
+        per_vals.append(v)
+        halo_ids.append(remote)
+
+    # uniform halo size H: one slot block per source shard
+    # recv layout: for shard s, halo slot space is (n_shards, H_per) flattened;
+    # slot (src, j) holds the j-th entry shard src sends to s.
+    send_lists = [[[] for _ in range(n_shards)] for _ in range(n_shards)]
+    recv_maps = []     # per shard: dict global id -> (src, j)
+    for s in range(n_shards):
+        rmap = {}
+        for g in halo_ids[s]:
+            src = int(g // n_local)
+            j = len(send_lists[src][s])
+            send_lists[src][s].append(int(g - src * n_local))
+            rmap[int(g)] = (src, j)
+        recv_maps.append(rmap)
+
+    H = max((len(send_lists[s][d]) for s in range(n_shards)
+             for d in range(n_shards)), default=0)
+    H = max(_round_up(H, 8), 8)
+
+    # rewrite extended cols with the final slot layout
+    E = max(len(r) for r in per_rows) if per_rows else 0
+    E = max(_round_up(E, 1024), 1024)
+    rows_arr = np.full((n_shards, E), n_local, dtype=np.int32)
+    cols_arr = np.zeros((n_shards, E), dtype=np.int32)
+    vals_arr = np.zeros((n_shards, E), dtype=dtype)
+    for s in range(n_shards):
+        r, c_ext, v = per_rows[s], per_cols_ext[s], per_vals[s]
+        # remap halo part of c_ext (currently n_local + rank-in-unique) to
+        # n_local + src*H + j
+        remote = halo_ids[s]
+        if len(remote):
+            lut = np.array([n_local + recv_maps[s][int(g)][0] * H
+                            + recv_maps[s][int(g)][1] for g in remote],
+                           dtype=np.int64)
+            is_halo = c_ext >= n_local
+            c_ext = c_ext.copy()
+            c_ext[is_halo] = lut[c_ext[is_halo] - n_local]
+        ne = len(r)
+        rows_arr[s, :ne] = r
+        cols_arr[s, :ne] = c_ext
+        vals_arr[s, :ne] = v
+
+    send_arr = np.full((n_shards, n_shards, H), n_local, dtype=np.int32)
+    for s in range(n_shards):
+        for d in range(n_shards):
+            lst = send_lists[s][d]
+            send_arr[s, d, :len(lst)] = lst
+
+    diag_arr = np.zeros((n_shards, n_local), dtype=dtype)
+    flat = np.zeros(n_pad, dtype=dtype)
+    flat[:N] = diag_all
+    diag_arr[:] = flat.reshape(n_shards, n_local)
+
+    return ShardedGraph(
+        rows=jnp.asarray(rows_arr), cols=jnp.asarray(cols_arr),
+        vals=jnp.asarray(vals_arr), diag=jnp.asarray(diag_arr),
+        send_idx=jnp.asarray(send_arr), perm=jnp.asarray(perm, jnp.int32),
+        n_shards=n_shards, n_local=n_local, halo_size=H, n_vertices=N,
+        lap_type=lap_type)

@@ -1,0 +1,155 @@
+"""Sharded spectral ops: shard_map SpMM with halo all_to_all + Chebyshev.
+
+Per SpMM step each shard (mesh axis ``'graph'``):
+1. gathers the rows its neighbors need (``send_idx``) and exchanges them
+   with ONE tiled ``lax.all_to_all`` over the graph axis (ICI on real
+   hardware),
+2. gathers ``x_ext = [x_local ‖ received]`` at its edges' extended-local
+   column ids, multiplies by edge values, segment-sums into local rows,
+3. adds the fused diagonal term.
+
+The Chebyshev recurrence (role of ``cheby_op``,
+``pygsp/filters/approximations.py:58-114``) runs entirely inside one
+``shard_map`` as a ``lax.scan``, so XLA schedules the halo exchange of step
+k+1 against the elementwise tail of step k. The signal/feature axis can be
+sharded over a second mesh axis ``'batch'`` (pure data parallelism — no
+communication on the compute path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pygsp_tpu.parallel.partition import ShardedGraph
+
+
+def make_mesh(n_graph: int, n_batch: int = 1, devices=None) -> Mesh:
+    """('graph', 'batch') mesh over the first n_graph*n_batch devices."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:n_graph * n_batch]).reshape(
+        n_graph, n_batch)
+    return Mesh(devices, ('graph', 'batch'))
+
+
+def _specs(sg_spec_axis='graph'):
+    return dict(
+        rows=P(sg_spec_axis), cols=P(sg_spec_axis), vals=P(sg_spec_axis),
+        diag=P(sg_spec_axis), send_idx=P(sg_spec_axis), perm=P())
+
+
+def _sg_spec():
+    """PartitionSpec pytree matching ShardedGraph (leading axis = shard)."""
+    return ShardedGraph(
+        rows=P('graph'), cols=P('graph'), vals=P('graph'), diag=P('graph'),
+        send_idx=P('graph'), perm=P(),
+        n_shards=None, n_local=None, halo_size=None, n_vertices=None,
+        lap_type=None)
+
+
+def _halo_exchange(x_local, send_idx, n_shards, halo):
+    """Gather send rows and exchange: returns (S*H, ...) received block."""
+    send = x_local[send_idx.reshape(-1)]        # (S*H, ...); padding slots
+    # hold clamped garbage but no edge references them.
+    if n_shards == 1:
+        return send
+    return jax.lax.all_to_all(send, 'graph', split_axis=0, concat_axis=0,
+                              tiled=True)
+
+
+def _local_matvec(rows, cols, vals, diag, send_idx, x_local, *, n_shards,
+                  n_local, halo, scale=None, shift=None):
+    """One Laplacian matvec on this shard's slice (inside shard_map).
+
+    Computes ``scale * (L - shift I) @ x`` with scale/shift fused into the
+    diagonal term and edge values (both optional).
+    """
+    recv = _halo_exchange(x_local, send_idx, n_shards, halo)
+    x_ext = jnp.concatenate([x_local, recv], axis=0)
+    gathered = x_ext[cols]
+    if x_local.ndim > 1:
+        contrib = vals.reshape((-1,) + (1,) * (x_local.ndim - 1)) * gathered
+    else:
+        contrib = vals * gathered
+    off = jax.ops.segment_sum(contrib, rows, num_segments=n_local,
+                              indices_are_sorted=True)
+    d = diag if shift is None else diag - shift
+    db = d.reshape((-1,) + (1,) * (x_local.ndim - 1))
+    y = db * x_local + off
+    if scale is not None:
+        y = scale * y
+    return y
+
+
+def sharded_matvec(sg: ShardedGraph, x, mesh: Mesh):
+    """``L @ x`` with x of shape (S*n_local, ...) sharded over 'graph'."""
+
+    def body(rows, cols, vals, diag, send_idx, x_local):
+        return _local_matvec(
+            rows[0], cols[0], vals[0], diag[0], send_idx[0], x_local,
+            n_shards=sg.n_shards, n_local=sg.n_local, halo=sg.halo_size)
+
+    extra = (P(None, 'batch'),) if np.ndim(x) > 1 else (P(),)
+    xspec = P('graph', 'batch') if np.ndim(x) > 1 else P('graph')
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P('graph'), P('graph'), P('graph'), P('graph'),
+                  P('graph'), xspec),
+        out_specs=xspec)
+    return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, x)
+
+
+def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh):
+    """Chebyshev filter bank on the sharded graph.
+
+    c: (Nf, m+1); x: (S*n_local, ...) sharded over 'graph' (trailing axis
+    over 'batch' if 2-D). Returns (Nf, S*n_local, ...) with the same math
+    as :func:`pygsp_tpu.ops.chebyshev.cheby_op`.
+    """
+    c = jnp.atleast_2d(c)
+    nf, m1 = c.shape
+    lmax = jnp.asarray(lmax, dtype=sg.dtype)
+
+    def body(rows, cols, vals, diag, send_idx, c, lmax, x_local):
+        rows, cols, vals = rows[0], cols[0], vals[0]
+        diag, send_idx = diag[0], send_idx[0]
+        a1 = lmax / 2
+        a2 = lmax / 2
+        mv = partial(_local_matvec, rows, cols, vals, diag, send_idx,
+                     n_shards=sg.n_shards, n_local=sg.n_local,
+                     halo=sg.halo_size)
+
+        bshape = (nf,) + (1,) * x_local.ndim
+        t_old = x_local
+        t_cur = (mv(x_local) - a2 * x_local) / a1
+        acc = (0.5 * c[:, 0].reshape(bshape) * t_old[None]
+               + c[:, 1].reshape(bshape) * t_cur[None])
+
+        if m1 > 2:
+            def step(carry, ck):
+                t_old, t_cur, acc = carry
+                t_new = mv(t_cur, scale=2.0 / a1, shift=a2) - t_old
+                acc = acc + ck.reshape(bshape) * t_new[None]
+                return (t_cur, t_new, acc), None
+
+            (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc),
+                                          c[:, 2:].T)
+        return acc
+
+    if np.ndim(x) > 1:
+        xspec = P('graph', 'batch')
+        ospec = P(None, 'graph', 'batch')
+    else:
+        xspec = P('graph')
+        ospec = P(None, 'graph')
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P('graph'), P('graph'), P('graph'), P('graph'),
+                  P('graph'), P(), P(), xspec),
+        out_specs=ospec)
+    return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, c, lmax, x)

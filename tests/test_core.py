@@ -109,3 +109,62 @@ def test_empty_graph():
     M = core_sparse.from_coo([], [], [], 4)
     x = jnp.ones((4,))
     assert np.allclose(np.asarray(M @ x), 0.0)
+
+
+def test_hybrid_ell_matches_coo(rng):
+    """ELL(+tail) fast path must agree with the COO segment path."""
+    import scipy.sparse as sps
+    from pygsp_tpu.core.sparse import to_ell
+    # power-law-ish degrees to exercise the overflow tail
+    deg = np.minimum(rng.zipf(1.7, 200), 150)
+    rows = np.repeat(np.arange(200), deg)
+    cols = rng.integers(0, 200, size=len(rows))
+    A = sps.csr_matrix((rng.uniform(0.1, 1, len(rows)), (rows, cols)),
+                       shape=(200, 200))
+    A = A + A.T
+    A.setdiag(0)
+    A.eliminate_zeros()
+    M = core_sparse.from_scipy(A)
+    H = to_ell(M)
+    x = rng.normal(size=(200, 7))
+    got = np.asarray(H @ jnp.asarray(x))
+    want = np.asarray(M @ jnp.asarray(x))
+    assert np.allclose(got, want, atol=1e-11)
+    # fixed small width forces a big tail
+    H2 = to_ell(M, width=8)
+    got2 = np.asarray(H2 @ jnp.asarray(x))
+    assert np.allclose(got2, want, atol=1e-11)
+
+
+def test_hybrid_laplacian_cheby(rng):
+    from pygsp_tpu.ops import chebyshev as cheby
+    A = random_sym_adj(rng, n=80)
+    W = core_sparse.from_scipy(A)
+    L = laplacian_op(W, 'combinatorial')
+    Lh = L.to_hybrid()
+    x = rng.normal(size=(80, 3))
+    c = rng.normal(size=(2, 21))
+    r1 = np.asarray(cheby.cheby_op(L, 5.0, jnp.asarray(c), jnp.asarray(x)))
+    r2 = np.asarray(cheby.cheby_op(Lh, 5.0, jnp.asarray(c), jnp.asarray(x)))
+    assert np.allclose(r1, r2, atol=1e-9)
+
+
+def test_ell_from_scipy_matches(rng):
+    import scipy.sparse as sps
+    from pygsp_tpu.core.sparse import ell_from_scipy, to_ell
+    deg = np.minimum(rng.zipf(1.7, 150), 100)
+    rows = np.repeat(np.arange(150), deg)
+    cols = rng.integers(0, 150, size=len(rows))
+    A = sps.csr_matrix((rng.uniform(0.1, 1, len(rows)), (rows, cols)),
+                       shape=(150, 150))
+    A = A + A.T
+    A.setdiag(0)
+    A.eliminate_zeros()
+    H1 = ell_from_scipy(A)
+    H2 = to_ell(core_sparse.from_scipy(A))
+    x = rng.normal(size=(150, 5))
+    got1 = np.asarray(H1 @ jnp.asarray(x))
+    got2 = np.asarray(H2 @ jnp.asarray(x))
+    want = A @ x
+    assert np.allclose(got1, want, atol=1e-11)
+    assert np.allclose(got2, want, atol=1e-11)
