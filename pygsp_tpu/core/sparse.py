@@ -342,11 +342,12 @@ def _slot_block_sum(cols, vals, x, chunk: int = 8):
 
 def ell_spmm(mat: ELLMatrix, x: jax.Array) -> jax.Array:
     """``y = A @ x`` for the multi-level ELL format (see class docstring)."""
-    y = _slot_block_sum(mat.ell_cols, mat.ell_vals, x)[:mat.n_rows]
-    for level in mat.levels:
-        partial_sum = _slot_block_sum(level.cols, level.vals, x)
-        y = y.at[level.rows].add(partial_sum, mode='drop',
-                                 unique_indices=True)
+    with jax.named_scope('spmm_ell'):
+        y = _slot_block_sum(mat.ell_cols, mat.ell_vals, x)[:mat.n_rows]
+        for level in mat.levels:
+            partial_sum = _slot_block_sum(level.cols, level.vals, x)
+            y = y.at[level.rows].add(partial_sum, mode='drop',
+                                     unique_indices=True)
     return y
 
 

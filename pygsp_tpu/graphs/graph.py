@@ -253,12 +253,15 @@ class Graph:
     # Laplacian
     # ------------------------------------------------------------------
 
-    def compute_laplacian(self, lap_type: str = 'combinatorial'):
+    def compute_laplacian(self, lap_type: str = 'combinatorial',
+                          fmt: str = 'coo'):
         """(Re)build the device Laplacian operator.
 
         Semantics of reference ``compute_laplacian`` (graph.py:510-630):
         directed graphs are average-symmetrized first; lap-type change
-        invalidates spectral caches.
+        invalidates spectral caches. ``fmt='hybrid'`` stores the
+        off-diagonal block in the multi-level ELL TPU fast path
+        (identical math, different summation order).
         """
         if getattr(self, 'lap_type', None) != lap_type:
             self._lmax = None
@@ -281,6 +284,10 @@ class Graph:
         # the reference for both Laplacian types.
         Wsym = core_sparse.from_scipy(W)
         self._L = laplacian_op(Wsym, lap_type)
+        if fmt == 'hybrid':
+            self._L = self._L.to_hybrid()
+        elif fmt != 'coo':
+            raise ValueError(f'Unknown Laplacian format {fmt!r}')
         self._Wsym_host = W
 
     @property

@@ -54,12 +54,13 @@ def _sg_spec():
 
 def _halo_exchange(x_local, send_idx, n_shards, halo):
     """Gather send rows and exchange: returns (S*H, ...) received block."""
-    send = x_local[send_idx.reshape(-1)]        # (S*H, ...); padding slots
-    # hold clamped garbage but no edge references them.
-    if n_shards == 1:
-        return send
-    return jax.lax.all_to_all(send, 'graph', split_axis=0, concat_axis=0,
-                              tiled=True)
+    with jax.named_scope('halo_exchange'):
+        send = x_local[send_idx.reshape(-1)]    # (S*H, ...); padding slots
+        # hold clamped garbage but no edge references them.
+        if n_shards == 1:
+            return send
+        return jax.lax.all_to_all(send, 'graph', split_axis=0,
+                                  concat_axis=0, tiled=True)
 
 
 def _local_matvec(rows, cols, vals, diag, send_idx, x_local, *, n_shards,

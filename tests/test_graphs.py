@@ -236,3 +236,57 @@ def test_symmetrize_methods():
                        [[0, 3, 4], [3, 1, 2], [4, 2, 3]])
     assert np.allclose(utils.symmetrize(W, 'triu'),
                        [[0, 3, 0], [3, 1, 6], [0, 6, 3]])
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from pygsp_tpu import checkpoint
+    G = gsp.graphs.Sensor(40, seed=4)
+    G.compute_fourier_basis()
+    G.set_signal('s', rng.normal(size=(40, 2)))
+    path = str(tmp_path / 'g.npz')
+    checkpoint.save_graph(path, G)
+    G2 = checkpoint.load_graph(path)
+    assert np.allclose(G2.W.toarray(), G.W.toarray())
+    assert np.isclose(G2.lmax, G.lmax)
+    assert np.allclose(np.asarray(G2.U), np.asarray(G.U))
+    assert np.allclose(G2.signals['s'], G.signals['s'])
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path, rng):
+    from pygsp_tpu import checkpoint
+    from pygsp_tpu.parallel import partition_graph
+    G = gsp.graphs.Sensor(60, seed=5)
+    sg = partition_graph(G.W, 4)
+    prefix = str(tmp_path / 'shard')
+    checkpoint.save_sharded(prefix, sg)
+    sg2 = checkpoint.load_sharded(prefix)
+    assert sg2.n_shards == sg.n_shards and sg2.n_local == sg.n_local
+    assert np.allclose(np.asarray(sg2.vals), np.asarray(sg.vals))
+    x = rng.normal(size=G.N)
+    assert np.allclose(np.asarray(sg2.unpad_signal(sg2.pad_signal(x))), x)
+
+
+def test_hybrid_fmt_graph(rng):
+    from pygsp_tpu.core.sparse import ELLMatrix
+    G = gsp.graphs.Sensor(50, seed=6)
+    G.compute_laplacian('combinatorial', fmt='hybrid')
+    assert isinstance(G.L.offdiag, ELLMatrix)
+    x = rng.normal(size=G.N)
+    G2 = gsp.graphs.Sensor(50, seed=6)
+    assert np.allclose(np.asarray(G.L.dot(x)), np.asarray(G2.L.dot(x)),
+                       atol=1e-10)
+
+
+def test_throughput_meter():
+    from pygsp_tpu.profiling import Throughput
+    meter = Throughput(n_edges=100, k_order=3, n_signals=2)
+    with meter:
+        sum(range(1000))
+    rep = meter.report()
+    assert rep['edge_ops'] == 600 and rep['runs'] == 1
+
+
+def test_process_shard_range():
+    from pygsp_tpu.parallel import launch
+    lo, hi = launch.process_shard_range(100)
+    assert (lo, hi) == (0, 100)  # single process owns everything
