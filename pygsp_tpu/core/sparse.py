@@ -221,7 +221,8 @@ def spmm(mat, x: jax.Array) -> jax.Array:
     """
     if isinstance(mat, ELLMatrix):
         return ell_spmm(mat, x)
-    gathered = x[mat.cols]  # out-of-range padding cols clamp under jit
+    x = jnp.asarray(x)      # numpy would raise on the sentinel indices
+    gathered = x[mat.cols]  # out-of-range padding cols clamp (jnp semantics)
     if x.ndim == 1:
         contrib = mat.vals * gathered
     else:
@@ -342,6 +343,7 @@ def _slot_block_sum(cols, vals, x, chunk: int = 8):
 
 def ell_spmm(mat: ELLMatrix, x: jax.Array) -> jax.Array:
     """``y = A @ x`` for the multi-level ELL format (see class docstring)."""
+    x = jnp.asarray(x)      # numpy would raise on the sentinel indices
     with jax.named_scope('spmm_ell'):
         y = _slot_block_sum(mat.ell_cols, mat.ell_vals, x)[:mat.n_rows]
         for level in mat.levels:

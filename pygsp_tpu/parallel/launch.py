@@ -41,9 +41,10 @@ def global_mesh(n_graph: int | None = None, n_batch: int = 1):
     total = devices.size
     if n_graph is None:
         n_graph = total // n_batch
-    if n_graph * n_batch != total:
-        raise ValueError(f'{n_graph} x {n_batch} != {total} devices')
-    return Mesh(devices.reshape(n_graph, n_batch), ('graph', 'batch'))
+    if n_graph * n_batch > total:
+        raise ValueError(f'{n_graph} x {n_batch} > {total} devices')
+    return Mesh(devices[:n_graph * n_batch].reshape(n_graph, n_batch),
+                ('graph', 'batch'))
 
 
 def process_shard_range(n_items: int) -> tuple[int, int]:

@@ -290,3 +290,6 @@ def test_process_shard_range():
     from pygsp_tpu.parallel import launch
     lo, hi = launch.process_shard_range(100)
     assert (lo, hi) == (0, 100)  # single process owns everything
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        launch.global_mesh(n_graph=1000, n_batch=1000)
