@@ -64,12 +64,27 @@ class LaplacianOp:
         )
 
     def to_hybrid(self, width: int | None = None) -> 'LaplacianOp':
-        """Convert the off-diagonal block to the scatter-free hybrid
-        ELL(+tail) format — the TPU fast path (see ``sparse.ELLMatrix``)."""
+        """Convert the off-diagonal block to the scatter-free multi-level
+        ELL format — the TPU fast path for irregular/power-law graphs
+        (see ``sparse.ELLMatrix``)."""
         if isinstance(self.offdiag, sp.ELLMatrix):
             return self
         return LaplacianOp(offdiag=sp.to_ell(self.offdiag, width=width),
                            diag=self.diag, lap_type=self.lap_type)
+
+    def to_banded(self, max_half_bw: int = 16) -> 'LaplacianOp | None':
+        """Convert to the block-banded dense MXU format (mesh-like graphs
+        whose RCM bandwidth fits ``max_half_bw`` 128-tiles); None if the
+        band is too wide. Note: the CALLER must already hold vertices in
+        a banded order (e.g. via parallel.partition's RCM reorder or
+        scipy reverse_cuthill_mckee)."""
+        banded = sp.banded_from_scipy(
+            sp.to_scipy(self.offdiag), dtype=self.offdiag.dtype,
+            max_half_bw=max_half_bw)
+        if banded is None:
+            return None
+        return LaplacianOp(offdiag=banded, diag=self.diag,
+                           lap_type=self.lap_type)
 
     def to_dense(self) -> jax.Array:
         dense = sp.to_dense(self.offdiag)

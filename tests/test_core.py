@@ -168,3 +168,41 @@ def test_ell_from_scipy_matches(rng):
     want = A @ x
     assert np.allclose(got1, want, atol=1e-11)
     assert np.allclose(got2, want, atol=1e-11)
+
+
+def test_banded_matches_coo(rng):
+    import scipy.sparse as sps
+    from pygsp_tpu.core.sparse import banded_from_scipy
+    # banded random matrix (bandwidth < 128 -> half_bw = 1)
+    n = 300
+    diags = [rng.normal(size=n - off) for off in (1, 5, 90)]
+    A = sum(sps.diags(d, off) for d, off in zip(diags, (1, 5, 90)))
+    A = A + A.T
+    B = banded_from_scipy(A)
+    assert B is not None and B.half_bw == 1
+    x = rng.normal(size=(n, 4))
+    got = np.asarray(B @ jnp.asarray(x))
+    assert np.allclose(got, A @ x, atol=1e-10)
+    got1 = np.asarray(B @ jnp.asarray(x[:, 0]))
+    assert np.allclose(got1, A @ x[:, 0], atol=1e-10)
+
+
+def test_banded_laplacian_cheby(rng):
+    import scipy.sparse as sps
+    from pygsp_tpu.ops import chebyshev as cheby
+    import pygsp_tpu as gsp
+    G = gsp.graphs.Grid2d(12, 10)   # bandwidth 10 in natural order
+    G.estimate_lmax(method='bounds')
+    Lb = G.L.to_banded()
+    assert Lb is not None
+    x = rng.normal(size=(G.N, 3))
+    c = rng.normal(size=(2, 15))
+    r1 = np.asarray(cheby.cheby_op(G.L, G.lmax, jnp.asarray(c), jnp.asarray(x)))
+    r2 = np.asarray(cheby.cheby_op(Lb, G.lmax, jnp.asarray(c), jnp.asarray(x)))
+    assert np.allclose(r1, r2, atol=1e-8)
+
+
+def test_banded_rejects_wide_band(rng):
+    import pygsp_tpu as gsp
+    G = gsp.graphs.ErdosRenyi(600, p=0.05, seed=1)  # random: huge bandwidth
+    assert G.L.to_banded(max_half_bw=1) is None
