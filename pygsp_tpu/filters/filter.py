@@ -32,17 +32,6 @@ from pygsp_tpu.ops import lanczos as lanczos_mod
 _logger = utils.build_logger(__name__)
 
 
-@partial(jax.jit, static_argnames=())
-def _analysis_cheby(L, lmax, c, s):
-    """(N, S) signals -> (N, S, Nf)."""
-    r = cheby.cheby_op(L, lmax, c, s)          # (Nf, N, S)
-    return jnp.moveaxis(r, 0, -1)              # (N, S, Nf)
-
-
-@partial(jax.jit, static_argnames=())
-def _synthesis_cheby(L, lmax, c, s):
-    """(N, S, Nf) coefficients -> (N, S)."""
-    return cheby.cheby_synthesis(L, lmax, c, s)
 
 
 class Filter:
@@ -60,6 +49,10 @@ class Filter:
         self.shape = (self.n_features_out, self.n_features_in)
         self.n_filters = self.n_features_in * self.n_features_out
         self.Nf = self.n_filters
+        # jitted end-to-end filtering programs, keyed by
+        # (mode, order, lmax): ONE device dispatch per filter() call
+        # (coefficient quadrature included in the traced program).
+        self._jit_cache = {}
 
     # -- bank algebra (reference filter.py:87-105) ------------------------
 
@@ -93,6 +86,31 @@ class Filter:
 
     def __matmul__(self, other):
         return self.filter(other)
+
+    def _cheby_program(self, mode: str, order: int):
+        """Cached jit of quadrature + recurrence (kernels and lmax are
+        trace-time constants; cache is keyed on lmax so refinements after
+        ``compute_fourier_basis`` retrace)."""
+        key = (mode, order, float(self.G.lmax))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            lmax = float(self.G.lmax)
+
+            if mode == 'analysis':
+                def run(L, s):
+                    c = cheby.cheby_coeff(self.evaluate, lmax, m=order,
+                                          dtype=s.dtype)
+                    r = cheby.cheby_op(L, lmax, c, s)      # (Nf, N, S)
+                    return jnp.moveaxis(r, 0, -1)          # (N, S, Nf)
+            else:
+                def run(L, s):
+                    c = cheby.cheby_coeff(self.evaluate, lmax, m=order,
+                                          dtype=s.dtype)
+                    return cheby.cheby_synthesis(L, lmax, c, s)
+
+            fn = jax.jit(run)
+            self._jit_cache[key] = fn
+        return fn
 
     # -- evaluation -------------------------------------------------------
 
@@ -136,11 +154,11 @@ class Filter:
             out = self.G.igft(s_hat)
 
         elif method == 'chebyshev':
-            c = cheby.cheby_coeff(self.evaluate, self.G.lmax, m=order)
             if n_features_in == 1:   # analysis
-                out = _analysis_cheby(self.G.L, self.G.lmax, c, s[..., 0])
+                out = self._cheby_program('analysis', order)(self.G.L,
+                                                             s[..., 0])
             else:                    # synthesis
-                out = _synthesis_cheby(self.G.L, self.G.lmax, c, s)
+                out = self._cheby_program('synthesis', order)(self.G.L, s)
                 out = jnp.expand_dims(out, -1)
 
         elif method == 'lanczos':
