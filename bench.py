@@ -36,13 +36,13 @@ def log(*args):
 
 def get_graph():
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f'ba_{N}_{M_ATTACH}.npz')
+    path = os.path.join(CACHE, f'bafast_{N}_{M_ATTACH}.npz')
     if os.path.exists(path):
         with np.load(path) as d:
             return d['src'], d['tgt']
-    from pygsp_tpu.graphs.barabasialbert import ba_edges
+    from pygsp_tpu.graphs.barabasialbert import ba_edges_fast
     t0 = time.time()
-    src, tgt = ba_edges(N, m0=M_ATTACH, m=M_ATTACH, seed=42)
+    src, tgt = ba_edges_fast(N, m0=M_ATTACH, m=M_ATTACH, seed=42)
     log(f'BA graph generated in {time.time() - t0:.1f}s: {len(src)} edges')
     np.savez(path, src=src, tgt=tgt)
     return src, tgt
@@ -91,16 +91,23 @@ def main():
     # L passed as a pytree ARGUMENT: closing over it would inline the edge
     # arrays as compile-time constants (compile-time/memory blowup).
     run = jax.jit(lambda L, c, x: cheby.cheby_op(L, lmax, c, x))
+
+    def sync(o):
+        # force completion with a device->host read: on this TPU relay,
+        # block_until_ready can return early after backend restarts, which
+        # would make the timings fictional. A host read cannot lie.
+        return float(jnp.sum(o[0, ::4096, 0]))
+
     t0 = time.time()
     out = run(L, c, x)
-    jax.block_until_ready(out)
+    sync(out)
     log(f'compile+first run: {time.time() - t0:.1f}s')
 
-    n_iter = 10
+    n_iter = 3
     t0 = time.time()
     for _ in range(n_iter):
         out = run(L, c, x)
-    jax.block_until_ready(out)
+        sync(out)
     dt = (time.time() - t0) / n_iter
     # edge-operations per second: each of the K SpMM steps touches every
     # stored edge once per signal column (shared across the Nf filters).
@@ -111,8 +118,19 @@ def main():
     # ---- reference implementation (SciPy CSR, reference cheby_op math) ----
     # throughput is per-edge-op, so measure on a column subsample to keep
     # the bench fast; the metric is work-normalized.
-    cpu_eps = reference_cpu_eps(W, lmax, np.asarray(c), np.asarray(x)[:, :8])
+    cpu_eps, cpu_out = reference_cpu_eps(W, lmax, np.asarray(c),
+                                         np.asarray(x)[:, :8])
     log(f'reference scipy: {cpu_eps:.3e} edge-ops/s')
+
+    # CORRECTNESS GATE: a silently-faulting device can return instantly
+    # with garbage; the throughput number is only valid if the outputs
+    # match the reference arithmetic.
+    dev_slice = np.asarray(out[0, :, :8])
+    err = np.abs(dev_slice - cpu_out).max() / (np.abs(cpu_out).max() + 1e-30)
+    log(f'device-vs-reference rel err: {err:.2e}')
+    if not np.isfinite(err) or err > 1e-2:
+        raise RuntimeError(f'device output mismatch (rel err {err}); '
+                           'refusing to report throughput')
 
     print(json.dumps({
         'metric': 'cheby_K30_heatbank_edge_ops_per_s',
@@ -142,7 +160,7 @@ def reference_cpu_eps(W, lmax, c, x):
         twf_old, twf_cur = twf_cur, twf_new
     dt = time.time() - t0
     edge_ops = (m1 - 1) * L.nnz * x.shape[1]
-    return edge_ops / dt
+    return edge_ops / dt, r[0]
 
 
 if __name__ == '__main__':

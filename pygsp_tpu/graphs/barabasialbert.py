@@ -69,3 +69,43 @@ class BarabasiAlbert(Graph):
 
     def _get_extra_repr(self):
         return dict(m0=self.m0, m=self.m, seed=self.seed)
+
+
+def ba_edges_fast(N, m0=1, m=1, seed=None):
+    """Vectorized preferential attachment (P(v) ∝ deg(v)+1), O(E).
+
+    Batagelj–Brandes-style: every draw picks a virtual position in the
+    sequential algorithm's repeated-endpoint array without building it;
+    positions landing on an edge endpoint are resolved by iterated pointer
+    substitution (references strictly decrease, so the loop terminates in
+    O(log) vectorized rounds). Ensemble-equivalent to :func:`ba_edges`
+    (same attachment probabilities) but draws with replacement within a
+    step, so it is not draw-for-draw identical — use it for large-scale
+    generation (100M-edge BASELINE graphs in ~1 min instead of hours).
+    """
+    rng = np.random.default_rng(seed)
+    n_new = N - m0
+    ks = np.repeat(np.arange(n_new, dtype=np.int64), m)
+    nodes_before = m0 + ks
+    sizes = nodes_before + 2 * m * ks
+    pos = (rng.uniform(size=n_new * m) * sizes).astype(np.int64)
+
+    src = np.repeat(np.arange(m0, N, dtype=np.int64), m)
+    tgt = np.full(n_new * m, -1, dtype=np.int64)
+
+    node_hit = pos < nodes_before
+    tgt[node_hit] = pos[node_hit]
+    pending = ~node_hit
+    q = pos[pending] - nodes_before[pending]
+    e = q // 2
+    side = q % 2
+    # side 0 hits the source endpoint (known analytically); side 1 the
+    # target of an earlier edge, marked -(e+1) for resolution.
+    tgt[pending] = np.where(side == 0, src[e], -(e + 1))
+    while True:
+        neg = tgt < 0
+        if not neg.any():
+            break
+        ref = -(tgt[neg]) - 1
+        tgt[neg] = tgt[ref]
+    return src, tgt

@@ -293,3 +293,20 @@ def test_process_shard_range():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         launch.global_mesh(n_graph=1000, n_batch=1000)
+
+
+def test_ba_fast_ensemble():
+    from pygsp_tpu.graphs.barabasialbert import ba_edges, ba_edges_fast
+    import numpy as np
+    N, m = 5000, 4
+    s1, t1 = ba_edges(N, m, m, seed=1)
+    s2, t2 = ba_edges_fast(N, m, m, seed=1)
+    d1 = np.bincount(s1, minlength=N) + np.bincount(t1, minlength=N)
+    d2 = np.bincount(s2, minlength=N) + np.bincount(t2, minlength=N)
+    assert len(s2) == (N - m) * m
+    assert (t2 >= 0).all() and (t2 < s2).all()   # targets precede sources
+    # log-binned degree distributions agree within sampling noise
+    for lo, hi in ((4, 8), (8, 16), (16, 32), (32, 64)):
+        c1 = ((d1 >= lo) & (d1 < hi)).sum()
+        c2 = ((d2 >= lo) & (d2 < hi)).sum()
+        assert abs(c1 - c2) < 0.1 * max(c1, c2) + 50, (lo, hi, c1, c2)
