@@ -59,6 +59,7 @@ class Throughput:
 
     def report(self) -> dict:
         best = min(self.times)
-        return {'edge_ops': self.edge_ops, 'best_s': best,
-                'edge_ops_per_s': self.edge_ops / best,
+        return {'edge_ops': self.edge_ops,
+                'best_ms': best * 1e3,
+                'edge_ops_per_s': self.edge_ops / max(best, 1e-12),
                 'runs': len(self.times)}
