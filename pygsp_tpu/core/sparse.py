@@ -357,62 +357,13 @@ def ell_spmm(mat: ELLMatrix, x: jax.Array) -> jax.Array:
 
 def to_ell(mat: CSRMatrix, width: int | None = None,
            row_block: int = ROW_BLOCK, level_factor: int = 2) -> ELLMatrix:
-    """Host-side conversion CSR → multi-level ELL.
-
-    Default level-0 width ≈ the mean degree (slot padding is what you pay
-    for scatter-freedom, so the width tracks the typical row); overflow
-    rows get levels of geometrically increasing width (×``level_factor``,
-    default 2 — measured best padding/levels trade-off on BA graphs).
-    """
-    rowptr = np.asarray(mat.rowptr)
+    """Device CSR → multi-level ELL (delegates to the host packer)."""
     rows = np.asarray(mat.rows)[:mat.nnz]
     cols = np.asarray(mat.cols)[:mat.nnz]
     vals = np.asarray(mat.vals)[:mat.nnz]
-    n = mat.n_rows
-    deg = np.diff(rowptr)
-
-    if width is None:
-        if mat.nnz == 0 or n == 0:
-            width = 8
-        else:
-            mean = max(1, int(np.ceil(mat.nnz / n)))
-            width = max(_round_up(mean, 8), 8)
-
-    n_pad = max(_round_up(n, row_block), row_block)
-    pos = np.arange(mat.nnz) - rowptr[rows]       # slot index within row
-
-    ell_cols = np.full((n_pad, width), mat.n_cols, dtype=np.int32)
-    ell_vals = np.zeros((n_pad, width), dtype=vals.dtype)
-    in0 = pos < width
-    ell_cols[rows[in0], pos[in0]] = cols[in0]
-    ell_vals[rows[in0], pos[in0]] = vals[in0]
-
-    levels = []
-    base = width
-    w = max(_round_up(width * (level_factor - 1), 8), 8)
-    while True:
-        over = pos >= base
-        if not over.any():
-            break
-        lrows = np.unique(rows[over])
-        remaining_max = int((deg[lrows] - base).max())
-        w = min(w, max(_round_up(remaining_max, 8), 8))
-        sel = over & (pos < base + w)
-        lmap = np.full(n, -1, np.int64)
-        lmap[lrows] = np.arange(len(lrows))
-        lc = np.full((len(lrows), w), mat.n_cols, dtype=np.int32)
-        lv = np.zeros((len(lrows), w), dtype=vals.dtype)
-        lc[lmap[rows[sel]], pos[sel] - base] = cols[sel]
-        lv[lmap[rows[sel]], pos[sel] - base] = vals[sel]
-        levels.append(ELLLevel(rows=jnp.asarray(lrows, jnp.int32),
-                               cols=jnp.asarray(lc), vals=jnp.asarray(lv)))
-        base += w
-        w = max(_round_up(w * level_factor, 8), 8)
-
-    return ELLMatrix(
-        ell_cols=jnp.asarray(ell_cols), ell_vals=jnp.asarray(ell_vals),
-        levels=tuple(levels), rowptr=mat.rowptr, n_rows=n,
-        n_cols=mat.n_cols, nnz=mat.nnz, ell_width=width)
+    return ell_from_host_coo(rows, cols, vals, mat.n_rows, mat.n_cols,
+                             width=width, level_factor=level_factor,
+                             row_block=row_block)
 
 
 def ell_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int,
@@ -441,30 +392,40 @@ def ell_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int,
             width = max(_round_up(mean, 8), 8)
 
     n_pad = max(_round_up(n, row_block), row_block)
-    pos = np.arange(rows.size) - rowptr[rows]
 
+    def pack(row_subset, base, w):
+        """Slot block [base, base+w) of each row — O(R*w) CSR-range
+        gathers (no edge-wide masks; this is what makes 100M-edge packs
+        take seconds instead of a minute)."""
+        starts = rowptr[row_subset] + base
+        ends = rowptr[row_subset + 1] if len(row_subset) < n else rowptr[1:]
+        idx = starts[:, None] + np.arange(w)[None, :]
+        valid = idx < ends[:, None]
+        idx = np.minimum(idx, max(rows.size - 1, 0))
+        pc = np.where(valid, cols[idx], n_cols).astype(np.int32)
+        pv = np.where(valid, vals[idx], 0).astype(vals.dtype)
+        return pc, pv
+
+    all_rows = np.arange(n, dtype=np.int64)
+    if rows.size:
+        c0, v0 = pack(all_rows, 0, width)
+    else:
+        c0 = np.full((n, width), n_cols, np.int32)
+        v0 = np.zeros((n, width), vals.dtype)
     ell_cols = np.full((n_pad, width), n_cols, dtype=np.int32)
     ell_vals = np.zeros((n_pad, width), dtype=vals.dtype)
-    in0 = pos < width
-    ell_cols[rows[in0], pos[in0]] = cols[in0]
-    ell_vals[rows[in0], pos[in0]] = vals[in0]
+    ell_cols[:n] = c0
+    ell_vals[:n] = v0
 
     levels = []
     base = width
     w = max(_round_up(width, 8), 8)
     maxdeg = int(deg.max()) if n else 0
     while base < maxdeg:
-        over = pos >= base
-        lrows = np.unique(rows[over])
+        lrows = np.flatnonzero(deg > base)
         remaining_max = int((deg[lrows] - base).max())
         w = min(w, max(_round_up(remaining_max, 8), 8))
-        sel = over & (pos < base + w)
-        lmap = np.full(n, -1, np.int64)
-        lmap[lrows] = np.arange(len(lrows))
-        lc = np.full((len(lrows), w), n_cols, dtype=np.int32)
-        lv = np.zeros((len(lrows), w), dtype=vals.dtype)
-        lc[lmap[rows[sel]], pos[sel] - base] = cols[sel]
-        lv[lmap[rows[sel]], pos[sel] - base] = vals[sel]
+        lc, lv = pack(lrows, base, w)
         levels.append(ELLLevel(rows=jnp.asarray(lrows, jnp.int32),
                                cols=jnp.asarray(lc), vals=jnp.asarray(lv)))
         base += w
@@ -566,6 +527,10 @@ def banded_from_scipy(mat, *, dtype=None, max_half_bw: int = 16):
 
     Returns None if the matrix's block bandwidth exceeds ``max_half_bw``
     tiles (the dense band would waste too much memory/FLOPs).
+    ``dtype=jnp.bfloat16`` halves tile memory/bandwidth (accumulation
+    stays fp32 via ``preferred_element_type``) at ~3 decimal digits of
+    edge-weight precision — fine for diffusion-style workloads, not for
+    reference-parity tests.
     """
     coo = mat.tocoo()
     n = coo.shape[0]

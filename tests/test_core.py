@@ -206,3 +206,37 @@ def test_banded_rejects_wide_band(rng):
     import pygsp_tpu as gsp
     G = gsp.graphs.ErdosRenyi(600, p=0.05, seed=1)  # random: huge bandwidth
     assert G.L.to_banded(max_half_bw=1) is None
+
+
+def test_pallas_banded_interpret(rng):
+    """Pallas banded kernel (interpret mode on CPU) == einsum path."""
+    import scipy.sparse as sps
+    from pygsp_tpu.core.sparse import banded_from_scipy, banded_spmm
+    from pygsp_tpu.ops.pallas_banded import banded_spmm_pallas
+    n = 300
+    diags = [rng.normal(size=n - off) for off in (1, 7, 60)]
+    A = sum(sps.diags(d, off) for d, off in zip(diags, (1, 7, 60)))
+    A = (A + A.T).astype(np.float32)
+    B = banded_from_scipy(A, dtype=np.float32)
+    x = rng.normal(size=(n, 128)).astype(np.float32)
+    want = np.asarray(banded_spmm(B, jnp.asarray(x)))
+    got = np.asarray(banded_spmm_pallas(B, jnp.asarray(x), interpret=True))
+    assert np.allclose(got, want, atol=1e-4)
+    # narrow signal (padding path)
+    x1 = rng.normal(size=(n, 5)).astype(np.float32)
+    got1 = np.asarray(banded_spmm_pallas(B, jnp.asarray(x1), interpret=True))
+    want1 = np.asarray(banded_spmm(B, jnp.asarray(x1)))
+    assert np.allclose(got1, want1, atol=1e-4)
+
+
+def test_banded_bf16(rng):
+    import scipy.sparse as sps
+    import jax.numpy as jnp_
+    from pygsp_tpu.core.sparse import banded_from_scipy
+    n = 200
+    A = sps.diags([rng.uniform(0.5, 1, n - 1)], [1])
+    A = (A + A.T).tocsr()
+    B16 = banded_from_scipy(A, dtype=jnp_.bfloat16)
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    got = np.asarray(B16 @ jnp.asarray(x)).astype(np.float32)
+    assert np.allclose(got, A @ x, rtol=2e-2, atol=2e-2)
