@@ -122,78 +122,56 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
     else:
         raise ValueError(f'Unknown lap_type {lap_type!r}')
 
-    rows_all, cols_all = coo.row, coo.col
+    rows_all, cols_all = coo.row.astype(np.int64), coo.col.astype(np.int64)
     shard_of = rows_all // n_local
 
-    # per-shard edge lists + halo column discovery
-    per_rows, per_cols_ext, per_vals = [], [], []
-    halo_ids = []      # per shard: sorted unique remote global (reordered) ids
+    # --- pass 1 (vectorized): per-shard halo vertex sets and H ----------
+    per = []            # per shard: (rows_local, cols_global, vals, is_local)
+    halo_ids = []       # per shard: sorted unique remote global ids
     for s in range(n_shards):
         msk = shard_of == s
         r = rows_all[msk] - s * n_local
         c = cols_all[msk]
         v = vals_all[msk]
-        local_lo, local_hi = s * n_local, (s + 1) * n_local
-        is_local = (c >= local_lo) & (c < local_hi)
-        remote = np.unique(c[~is_local])
-        remote_pos = {g: i for i, g in enumerate(remote)}
-        c_ext = np.where(is_local, c - local_lo, 0)
-        if len(remote):
-            c_ext = c_ext.copy()
-            idx_rem = np.nonzero(~is_local)[0]
-            c_ext[idx_rem] = n_local + np.array(
-                [remote_pos[g] for g in c[idx_rem]])
-        per_rows.append(r)
-        per_cols_ext.append(c_ext)
-        per_vals.append(v)
-        halo_ids.append(remote)
+        is_local = (c >= s * n_local) & (c < (s + 1) * n_local)
+        per.append((r, c, v, is_local))
+        halo_ids.append(np.unique(c[~is_local]))
 
-    # uniform halo size H: one slot block per source shard
-    # recv layout: for shard s, halo slot space is (n_shards, H_per) flattened;
-    # slot (src, j) holds the j-th entry shard src sends to s.
-    send_lists = [[[] for _ in range(n_shards)] for _ in range(n_shards)]
-    recv_maps = []     # per shard: dict global id -> (src, j)
+    # H = max over (src, dst) pairs of vertices src must send to dst
+    H = 0
     for s in range(n_shards):
-        rmap = {}
-        for g in halo_ids[s]:
-            src = int(g // n_local)
-            j = len(send_lists[src][s])
-            send_lists[src][s].append(int(g - src * n_local))
-            rmap[int(g)] = (src, j)
-        recv_maps.append(rmap)
-
-    H = max((len(send_lists[s][d]) for s in range(n_shards)
-             for d in range(n_shards)), default=0)
+        if len(halo_ids[s]):
+            counts = np.bincount(halo_ids[s] // n_local, minlength=n_shards)
+            H = max(H, int(counts.max()))
     H = max(_round_up(H, 8), 8)
 
-    # rewrite extended cols with the final slot layout
-    E = max(len(r) for r in per_rows) if per_rows else 0
+    # --- pass 2 (vectorized): slot assignment + send maps ---------------
+    # recv layout on shard s: slot (src, j) = j-th entry shard src sends
+    # to s; remote ids are sorted so per-src groups are contiguous and
+    # j = rank within the group.
+    E = max((len(p_[0]) for p_ in per), default=0)
     E = max(_round_up(E, 1024), 1024)
     rows_arr = np.full((n_shards, E), n_local, dtype=np.int32)
     cols_arr = np.zeros((n_shards, E), dtype=np.int32)
     vals_arr = np.zeros((n_shards, E), dtype=dtype)
+    send_arr = np.full((n_shards, n_shards, H), n_local, dtype=np.int32)
+
     for s in range(n_shards):
-        r, c_ext, v = per_rows[s], per_cols_ext[s], per_vals[s]
-        # remap halo part of c_ext (currently n_local + rank-in-unique) to
-        # n_local + src*H + j
+        r, c, v, is_local = per[s]
         remote = halo_ids[s]
+        c_ext = np.where(is_local, c - s * n_local, 0)
         if len(remote):
-            lut = np.array([n_local + recv_maps[s][int(g)][0] * H
-                            + recv_maps[s][int(g)][1] for g in remote],
-                           dtype=np.int64)
-            is_halo = c_ext >= n_local
-            c_ext = c_ext.copy()
-            c_ext[is_halo] = lut[c_ext[is_halo] - n_local]
+            src = remote // n_local
+            group_start = np.searchsorted(src, np.arange(n_shards))
+            j = np.arange(len(remote)) - group_start[src]
+            slot = n_local + src * H + j
+            ridx = np.searchsorted(remote, c[~is_local])
+            c_ext[~is_local] = slot[ridx]
+            send_arr[src, s, j] = remote - src * n_local
         ne = len(r)
         rows_arr[s, :ne] = r
         cols_arr[s, :ne] = c_ext
         vals_arr[s, :ne] = v
-
-    send_arr = np.full((n_shards, n_shards, H), n_local, dtype=np.int32)
-    for s in range(n_shards):
-        for d in range(n_shards):
-            lst = send_lists[s][d]
-            send_arr[s, d, :len(lst)] = lst
 
     diag_arr = np.zeros((n_shards, n_local), dtype=dtype)
     flat = np.zeros(n_pad, dtype=dtype)
