@@ -322,19 +322,21 @@ def _slot_block_sum(cols, vals, x, chunk: int = 8):
         return term
 
     out_shape = (cols.shape[0],) + x.shape[1:]
-    if n_chunks > 1:
-        cols_s = cols[:, :n_chunks * chunk].reshape(
-            -1, n_chunks, chunk).transpose(1, 0, 2)
-        vals_s = vals[:, :n_chunks * chunk].reshape(
-            -1, n_chunks, chunk).transpose(1, 0, 2)
-
-        def body(acc, cv):
-            return acc + chunk_sum(*cv), None
-
-        y, _ = jax.lax.scan(body, jnp.zeros(out_shape, x.dtype),
-                            (cols_s, vals_s))
-    elif n_chunks == 1:
+    if n_chunks >= 1:
+        # seed the scan carry with the first chunk (not jnp.zeros): a
+        # data-independent carry breaks reverse-mode varying-axis
+        # inference when this runs inside shard_map.
         y = chunk_sum(cols[:, :chunk], vals[:, :chunk])
+        if n_chunks > 1:
+            cols_s = cols[:, chunk:n_chunks * chunk].reshape(
+                -1, n_chunks - 1, chunk).transpose(1, 0, 2)
+            vals_s = vals[:, chunk:n_chunks * chunk].reshape(
+                -1, n_chunks - 1, chunk).transpose(1, 0, 2)
+
+            def body(acc, cv):
+                return acc + chunk_sum(*cv), None
+
+            y, _ = jax.lax.scan(body, y, (cols_s, vals_s))
     else:
         y = jnp.zeros(out_shape, x.dtype)
     if rem:

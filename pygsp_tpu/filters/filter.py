@@ -19,8 +19,6 @@ N_FEATURES)`` with the same squeeze/expand ergonomics
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,8 +18,6 @@ pure functions in :mod:`pygsp_tpu.ops`.
 
 from __future__ import annotations
 
-from functools import cached_property
-
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sps

@@ -13,8 +13,6 @@ Signal convention: ``x`` has shape ``(N, ...)`` (any trailing dims);
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -7,9 +7,11 @@ boundary vertex values compiled to one ``all_to_all`` over ICI, and the
 signal/feature axis optionally sharded as data parallelism.
 """
 
-from pygsp_tpu.parallel.partition import ShardedGraph, partition_graph
+from pygsp_tpu.parallel.partition import (ShardedGraph, ShardedELL,
+                                           partition_graph, shard_local_ell)
 from pygsp_tpu.parallel.sharded import (
     sharded_matvec, sharded_cheby_op, make_mesh)
 
-__all__ = ['ShardedGraph', 'partition_graph', 'sharded_matvec',
-           'sharded_cheby_op', 'make_mesh']
+__all__ = ['ShardedGraph', 'ShardedELL', 'partition_graph',
+           'shard_local_ell', 'sharded_matvec', 'sharded_cheby_op',
+           'make_mesh']

@@ -184,3 +184,106 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
         send_idx=jnp.asarray(send_arr), perm=jnp.asarray(perm, jnp.int32),
         n_shards=n_shards, n_local=n_local, halo_size=H, n_vertices=N,
         lap_type=lap_type)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=['ell_cols', 'ell_vals', 'lvl_rows', 'lvl_cols',
+                      'lvl_vals'],
+         meta_fields=['ell_width'])
+@dataclasses.dataclass(frozen=True)
+class ShardedELL:
+    """Per-shard multi-level ELL of the local (extended-column) edges.
+
+    Same scatter-free layout as :class:`pygsp_tpu.core.sparse.ELLMatrix`
+    but with a leading shard axis and a SHARED level structure across
+    shards (a ``shard_map`` requirement): widths/level counts are global;
+    shards with fewer overflow rows pad with sentinel rows (dropped by the
+    unique-row scatter). Column ids live in the extended-local space
+    ``[0, n_local + n_shards*H)``; sentinel slots point one past it.
+    """
+
+    ell_cols: jax.Array          # (S, n_local, w0)
+    ell_vals: jax.Array          # (S, n_local, w0)
+    lvl_rows: tuple              # per level: (S, R) int32, sentinel n_local
+    lvl_cols: tuple              # per level: (S, R, w)
+    lvl_vals: tuple
+    ell_width: int
+
+
+def shard_local_ell(sg: ShardedGraph, width: int | None = None,
+                    level_factor: int = 2) -> ShardedELL:
+    """Convert a ShardedGraph's per-shard COO into stacked multi-level ELL."""
+    S = sg.n_shards
+    n_local = sg.n_local
+    n_ext = n_local + S * sg.halo_size
+    rows = np.asarray(sg.rows)
+    cols = np.asarray(sg.cols)
+    vals = np.asarray(sg.vals)
+
+    # global degree stats (padding rows == n_local excluded)
+    degs = np.stack([np.bincount(rows[s][rows[s] < n_local],
+                                 minlength=n_local) for s in range(S)])
+    nnz_total = int(degs.sum())
+    if width is None:
+        mean = max(1, int(np.ceil(nnz_total / max(S * n_local, 1))))
+        width = max(_round_up(mean, 8), 8)
+    maxdeg = int(degs.max()) if degs.size else 0
+
+    # shared width schedule
+    bases, widths = [], []
+    base, w = width, max(_round_up(width, 8), 8)
+    while base < maxdeg:
+        w = min(w, max(_round_up(maxdeg - base, 8), 8))
+        bases.append(base)
+        widths.append(w)
+        base += w
+        w = max(_round_up(w * level_factor, 8), 8)
+
+    lvl_row_counts = [max(int((degs > b).sum(axis=1).max()), 1)
+                      for b in bases]
+
+    ell_cols = np.full((S, n_local, width), n_ext, dtype=np.int32)
+    ell_vals = np.zeros((S, n_local, width), dtype=vals.dtype)
+    lvl_rows = [np.full((S, r), n_local, np.int32) for r in lvl_row_counts]
+    lvl_cols = [np.full((S, r, w), n_ext, np.int32)
+                for r, w in zip(lvl_row_counts, widths)]
+    lvl_vals = [np.zeros((S, r, w), vals.dtype)
+                for r, w in zip(lvl_row_counts, widths)]
+
+    for s in range(S):
+        real = rows[s] < n_local
+        r, c, v = rows[s][real], cols[s][real], vals[s][real]
+        order = np.argsort(r, kind='stable')
+        r, c, v = r[order], c[order], v[order]
+        rowptr = np.zeros(n_local + 1, np.int64)
+        np.cumsum(np.bincount(r, minlength=n_local), out=rowptr[1:])
+        deg = degs[s]
+
+        def pack(row_subset, b, w):
+            starts = rowptr[row_subset] + b
+            ends = rowptr[row_subset + 1]
+            idx = starts[:, None] + np.arange(w)[None, :]
+            valid = idx < ends[:, None]
+            idx = np.minimum(idx, max(len(r) - 1, 0))
+            pc = np.where(valid, c[idx], n_ext).astype(np.int32)
+            pv = np.where(valid, v[idx], 0).astype(vals.dtype)
+            return pc, pv
+
+        if len(r):
+            pc, pv = pack(np.arange(n_local), 0, width)
+            ell_cols[s], ell_vals[s] = pc, pv
+        for li, (b, w) in enumerate(zip(bases, widths)):
+            lr = np.flatnonzero(deg > b)
+            if not len(lr):
+                continue
+            pc, pv = pack(lr, b, w)
+            lvl_rows[li][s, :len(lr)] = lr
+            lvl_cols[li][s, :len(lr)] = pc
+            lvl_vals[li][s, :len(lr)] = pv
+
+    return ShardedELL(
+        ell_cols=jnp.asarray(ell_cols), ell_vals=jnp.asarray(ell_vals),
+        lvl_rows=tuple(jnp.asarray(a) for a in lvl_rows),
+        lvl_cols=tuple(jnp.asarray(a) for a in lvl_cols),
+        lvl_vals=tuple(jnp.asarray(a) for a in lvl_vals),
+        ell_width=width)

@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pygsp_tpu.parallel.partition import ShardedGraph
 
@@ -35,21 +35,6 @@ def make_mesh(n_graph: int, n_batch: int = 1, devices=None) -> Mesh:
     devices = np.asarray(devices[:n_graph * n_batch]).reshape(
         n_graph, n_batch)
     return Mesh(devices, ('graph', 'batch'))
-
-
-def _specs(sg_spec_axis='graph'):
-    return dict(
-        rows=P(sg_spec_axis), cols=P(sg_spec_axis), vals=P(sg_spec_axis),
-        diag=P(sg_spec_axis), send_idx=P(sg_spec_axis), perm=P())
-
-
-def _sg_spec():
-    """PartitionSpec pytree matching ShardedGraph (leading axis = shard)."""
-    return ShardedGraph(
-        rows=P('graph'), cols=P('graph'), vals=P('graph'), diag=P('graph'),
-        send_idx=P('graph'), perm=P(),
-        n_shards=None, n_local=None, halo_size=None, n_vertices=None,
-        lap_type=None)
 
 
 def _halo_exchange(x_local, send_idx, n_shards, halo):
@@ -64,21 +49,33 @@ def _halo_exchange(x_local, send_idx, n_shards, halo):
 
 
 def _local_matvec(rows, cols, vals, diag, send_idx, x_local, *, n_shards,
-                  n_local, halo, scale=None, shift=None):
+                  n_local, halo, scale=None, shift=None, ell=None):
     """One Laplacian matvec on this shard's slice (inside shard_map).
 
     Computes ``scale * (L - shift I) @ x`` with scale/shift fused into the
-    diagonal term and edge values (both optional).
+    diagonal term. When ``ell`` (this shard's slice of a
+    :class:`~pygsp_tpu.parallel.partition.ShardedELL`) is given, the local
+    SpMM runs the scatter-free multi-level ELL path (the TPU fast path —
+    XLA's segment-sum scatter serializes power-law hub rows); otherwise
+    gather + sorted segment-sum over the COO arrays.
     """
     recv = _halo_exchange(x_local, send_idx, n_shards, halo)
     x_ext = jnp.concatenate([x_local, recv], axis=0)
-    gathered = x_ext[cols]
-    if x_local.ndim > 1:
-        contrib = vals.reshape((-1,) + (1,) * (x_local.ndim - 1)) * gathered
+    if ell is not None:
+        from pygsp_tpu.core.sparse import _slot_block_sum
+        off = _slot_block_sum(ell.ell_cols[0], ell.ell_vals[0], x_ext)
+        for lr, lc, lv in zip(ell.lvl_rows, ell.lvl_cols, ell.lvl_vals):
+            part = _slot_block_sum(lc[0], lv[0], x_ext)
+            off = off.at[lr[0]].add(part, mode='drop', unique_indices=True)
     else:
-        contrib = vals * gathered
-    off = jax.ops.segment_sum(contrib, rows, num_segments=n_local,
-                              indices_are_sorted=True)
+        gathered = x_ext[cols]
+        if x_local.ndim > 1:
+            contrib = vals.reshape(
+                (-1,) + (1,) * (x_local.ndim - 1)) * gathered
+        else:
+            contrib = vals * gathered
+        off = jax.ops.segment_sum(contrib, rows, num_segments=n_local,
+                                  indices_are_sorted=True)
     d = diag if shift is None else diag - shift
     db = d.reshape((-1,) + (1,) * (x_local.ndim - 1))
     y = db * x_local + off
@@ -87,25 +84,29 @@ def _local_matvec(rows, cols, vals, diag, send_idx, x_local, *, n_shards,
     return y
 
 
-def sharded_matvec(sg: ShardedGraph, x, mesh: Mesh):
-    """``L @ x`` with x of shape (S*n_local, ...) sharded over 'graph'."""
+def sharded_matvec(sg: ShardedGraph, x, mesh: Mesh, ell=None):
+    """``L @ x`` with x of shape (S*n_local, ...) sharded over 'graph'.
 
-    def body(rows, cols, vals, diag, send_idx, x_local):
+    Pass ``ell = shard_local_ell(sg)`` to run the local SpMMs scatter-free.
+    """
+
+    def body(rows, cols, vals, diag, send_idx, ell, x_local):
         return _local_matvec(
             rows[0], cols[0], vals[0], diag[0], send_idx[0], x_local,
-            n_shards=sg.n_shards, n_local=sg.n_local, halo=sg.halo_size)
+            n_shards=sg.n_shards, n_local=sg.n_local, halo=sg.halo_size,
+            ell=ell)
 
-    extra = (P(None, 'batch'),) if np.ndim(x) > 1 else (P(),)
     xspec = P('graph', 'batch') if np.ndim(x) > 1 else P('graph')
+    ell_spec = jax.tree.map(lambda _: P('graph'), ell)
     f = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P('graph'), P('graph'), P('graph'), P('graph'),
-                  P('graph'), xspec),
+                  P('graph'), ell_spec, xspec),
         out_specs=xspec)
-    return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, x)
+    return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, ell, x)
 
 
-def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh):
+def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh, ell=None):
     """Chebyshev filter bank on the sharded graph.
 
     c: (Nf, m+1); x: (S*n_local, ...) sharded over 'graph' (trailing axis
@@ -116,14 +117,14 @@ def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh):
     nf, m1 = c.shape
     lmax = jnp.asarray(lmax, dtype=sg.dtype)
 
-    def body(rows, cols, vals, diag, send_idx, c, lmax, x_local):
+    def body(rows, cols, vals, diag, send_idx, ell, c, lmax, x_local):
         rows, cols, vals = rows[0], cols[0], vals[0]
         diag, send_idx = diag[0], send_idx[0]
         a1 = lmax / 2
         a2 = lmax / 2
         mv = partial(_local_matvec, rows, cols, vals, diag, send_idx,
                      n_shards=sg.n_shards, n_local=sg.n_local,
-                     halo=sg.halo_size)
+                     halo=sg.halo_size, ell=ell)
 
         bshape = (nf,) + (1,) * x_local.ndim
         t_old = x_local
@@ -148,9 +149,11 @@ def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh):
     else:
         xspec = P('graph')
         ospec = P(None, 'graph')
+    ell_spec = jax.tree.map(lambda _: P('graph'), ell)
     f = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P('graph'), P('graph'), P('graph'), P('graph'),
-                  P('graph'), P(), P(), xspec),
+                  P('graph'), ell_spec, P(), P(), xspec),
         out_specs=ospec)
-    return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, c, lmax, x)
+    return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, ell, c,
+             lmax, x)

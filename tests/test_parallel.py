@@ -114,3 +114,50 @@ def test_single_shard_matches():
     y = np.asarray(sg.unpad_signal(sharded_matvec(sg, sg.pad_signal(x), mesh)))
     want = np.asarray(matvec(G.L, jnp.asarray(x)))
     assert np.allclose(y, want, atol=1e-10)
+
+
+@requires_multi
+def test_sharded_ell_matches(problem):
+    """Scatter-free per-shard ELL == COO sharded path == unsharded."""
+    from pygsp_tpu.parallel import shard_local_ell
+    G, x, lap_type = problem
+    G.estimate_lmax()
+    g = gsp.filters.Heat(G, scale=[5, 20])
+    c = cheby.cheby_coeff(g.evaluate, G.lmax, m=20)
+    ref = np.asarray(cheby.cheby_op(G.L, G.lmax, c, jnp.asarray(x)))
+
+    sg = partition_graph(G.W, 4, lap_type=lap_type)
+    ell = shard_local_ell(sg)
+    mesh = make_mesh(4, 2)
+    xp = sg.pad_signal(x)
+    y = sharded_matvec(sg, xp, mesh, ell=ell)
+    want_mv = np.asarray(matvec(G.L, jnp.asarray(x)))
+    assert np.allclose(np.asarray(sg.unpad_signal(y)), want_mv, atol=1e-10)
+
+    out = sharded_cheby_op(sg, G.lmax, c, xp, mesh, ell=ell)
+    got = np.stack([np.asarray(sg.unpad_signal(out[f])) for f in range(2)])
+    assert np.allclose(got, ref, atol=1e-9)
+
+
+@requires_multi
+def test_sharded_ell_autodiff(problem):
+    """Reverse-mode through the scatter-free sharded path (regression for
+    the scan-carry varying-axis bug: a jnp.zeros carry inside shard_map
+    broke grad tracing)."""
+    from pygsp_tpu.parallel import shard_local_ell
+    G, x, lap_type = problem
+    G.estimate_lmax()
+    sg = partition_graph(G.W, 4, lap_type=lap_type)
+    ell = shard_local_ell(sg)
+    mesh = make_mesh(4, 2)
+    xp = sg.pad_signal(x)
+    lmax = G.lmax
+
+    def loss(scale):
+        c = cheby.cheby_coeff(lambda lam: jnp.exp(-scale * lam / lmax)[None],
+                              lmax, m=8)
+        return jnp.sum(sharded_cheby_op(sg, lmax, c, xp, mesh, ell=ell) ** 2)
+
+    g1 = jax.grad(loss)(5.0)
+    fd = (loss(5.0 + 1e-4) - loss(5.0 - 1e-4)) / 2e-4
+    assert np.isclose(float(g1), float(fd), rtol=1e-4)
