@@ -211,8 +211,41 @@ class ShardedELL:
 
 
 def shard_local_ell(sg: ShardedGraph, width: int | None = None,
-                    level_factor: int = 2) -> ShardedELL:
-    """Convert a ShardedGraph's per-shard COO into stacked multi-level ELL."""
+                    level_factor: int = 2, split_boundary: bool = False):
+    """Convert a ShardedGraph's per-shard COO into stacked multi-level ELL.
+
+    With ``split_boundary=True``, returns ``(interior, boundary)``: the
+    interior ELL references ONLY owned vertices (cols < n_local) and the
+    boundary ELL only halo slots — the sharded matvec then computes the
+    interior aggregation with no data dependency on the halo
+    ``all_to_all``, letting XLA overlap the collective with local compute
+    (SURVEY hard part #2). Otherwise returns one combined ELL.
+    """
+    if split_boundary:
+        import dataclasses as _dc
+        n_local = sg.n_local
+        rows = np.asarray(sg.rows)
+        cols = np.asarray(sg.cols)
+        interior_mask = cols < n_local
+        def filtered(mask):
+            r = np.where(mask, rows, n_local)
+            # keep row-sortedness per shard by stable re-sort
+            out_rows = np.empty_like(rows)
+            out_cols = np.empty_like(cols)
+            out_vals = np.empty_like(np.asarray(sg.vals))
+            for s_ in range(sg.n_shards):
+                order = np.argsort(r[s_], kind='stable')
+                out_rows[s_] = r[s_][order]
+                out_cols[s_] = cols[s_][order]
+                out_vals[s_] = np.asarray(sg.vals)[s_][order]
+            return _dc.replace(sg, rows=jnp.asarray(out_rows),
+                               cols=jnp.asarray(out_cols),
+                               vals=jnp.asarray(out_vals))
+        sg_int = filtered(interior_mask & (rows < n_local))
+        sg_bnd = filtered(~interior_mask & (rows < n_local))
+        return (shard_local_ell(sg_int, width, level_factor),
+                shard_local_ell(sg_bnd, width, level_factor))
+
     S = sg.n_shards
     n_local = sg.n_local
     n_ext = n_local + S * sg.halo_size

@@ -60,14 +60,32 @@ def _local_matvec(rows, cols, vals, diag, send_idx, x_local, *, n_shards,
     gather + sorted segment-sum over the COO arrays.
     """
     recv = _halo_exchange(x_local, send_idx, n_shards, halo)
-    x_ext = jnp.concatenate([x_local, recv], axis=0)
-    if ell is not None:
+    if isinstance(ell, tuple):
+        # interior/boundary split: the interior aggregation has NO data
+        # dependency on the collective, so XLA can overlap the halo
+        # all_to_all with it (SURVEY hard part #2: comm/compute overlap).
         from pygsp_tpu.core.sparse import _slot_block_sum
+        interior, boundary = ell
+
+        def apply_ell(e, operand):
+            o = _slot_block_sum(e.ell_cols[0], e.ell_vals[0], operand)
+            for lr, lc, lv in zip(e.lvl_rows, e.lvl_cols, e.lvl_vals):
+                part = _slot_block_sum(lc[0], lv[0], operand)
+                o = o.at[lr[0]].add(part, mode='drop', unique_indices=True)
+            return o
+
+        off = apply_ell(interior, x_local)
+        x_ext = jnp.concatenate([x_local, recv], axis=0)
+        off = off + apply_ell(boundary, x_ext)
+    elif ell is not None:
+        from pygsp_tpu.core.sparse import _slot_block_sum
+        x_ext = jnp.concatenate([x_local, recv], axis=0)
         off = _slot_block_sum(ell.ell_cols[0], ell.ell_vals[0], x_ext)
         for lr, lc, lv in zip(ell.lvl_rows, ell.lvl_cols, ell.lvl_vals):
             part = _slot_block_sum(lc[0], lv[0], x_ext)
             off = off.at[lr[0]].add(part, mode='drop', unique_indices=True)
     else:
+        x_ext = jnp.concatenate([x_local, recv], axis=0)
         gathered = x_ext[cols]
         if x_local.ndim > 1:
             contrib = vals.reshape(

@@ -161,3 +161,25 @@ def test_sharded_ell_autodiff(problem):
     g1 = jax.grad(loss)(5.0)
     fd = (loss(5.0 + 1e-4) - loss(5.0 - 1e-4)) / 2e-4
     assert np.isclose(float(g1), float(fd), rtol=1e-4)
+
+
+@requires_multi
+def test_sharded_split_boundary(problem):
+    """Interior/boundary-split ELL (comm/compute overlap layout) matches."""
+    from pygsp_tpu.parallel import shard_local_ell
+    G, x, lap_type = problem
+    G.estimate_lmax()
+    sg = partition_graph(G.W, 4, lap_type=lap_type)
+    ell2 = shard_local_ell(sg, split_boundary=True)
+    assert isinstance(ell2, tuple) and len(ell2) == 2
+    mesh = make_mesh(4, 2)
+    xp = sg.pad_signal(x)
+    y = sharded_matvec(sg, xp, mesh, ell=ell2)
+    want = np.asarray(matvec(G.L, jnp.asarray(x)))
+    assert np.allclose(np.asarray(sg.unpad_signal(y)), want, atol=1e-10)
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[5, 20]).evaluate,
+                          G.lmax, m=20)
+    out = sharded_cheby_op(sg, G.lmax, c, xp, mesh, ell=ell2)
+    ref = np.asarray(cheby.cheby_op(G.L, G.lmax, c, jnp.asarray(x)))
+    got = np.stack([np.asarray(sg.unpad_signal(out[f])) for f in range(2)])
+    assert np.allclose(got, ref, atol=1e-9)
