@@ -29,4 +29,13 @@ def __getattr__(name):
         fn = getattr(approximations, name)
         globals()[name] = fn
         return fn
+    # submodule access (e.g. ``pygsp_tpu.filters.heat``): import on demand so
+    # reference-style ``from pygsp_tpu.filters.x import Y`` habits keep working
+    import importlib
+    try:
+        mod = importlib.import_module(f'pygsp_tpu.filters.{name}')
+        globals()[name] = mod
+        return mod
+    except ImportError:
+        pass
     raise AttributeError(f"module 'pygsp_tpu.filters' has no attribute {name!r}")

@@ -31,4 +31,13 @@ def __getattr__(name):
         cls = getattr(mod, name)
         globals()[name] = cls
         return cls
+    # submodule access (e.g. ``pygsp_tpu.graphs.heat``): import on demand so
+    # reference-style ``from pygsp_tpu.graphs.x import Y`` habits keep working
+    import importlib
+    try:
+        mod = importlib.import_module(f'pygsp_tpu.graphs.{name}')
+        globals()[name] = mod
+        return mod
+    except ImportError:
+        pass
     raise AttributeError(f"module 'pygsp_tpu.graphs' has no attribute {name!r}")

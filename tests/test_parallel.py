@@ -146,6 +146,10 @@ def test_sharded_ell_autodiff(problem):
     broke grad tracing)."""
     from pygsp_tpu.parallel import shard_local_ell
     G, x, lap_type = problem
+    if lap_type != 'combinatorial':
+        pytest.skip('one lap_type suffices for the grad regression '
+                    '(compile-heavy)')
+    x = x[:, :2]
     G.estimate_lmax()
     sg = partition_graph(G.W, 4, lap_type=lap_type)
     ell = shard_local_ell(sg)
@@ -155,7 +159,7 @@ def test_sharded_ell_autodiff(problem):
 
     def loss(scale):
         c = cheby.cheby_coeff(lambda lam: jnp.exp(-scale * lam / lmax)[None],
-                              lmax, m=8)
+                              lmax, m=6)
         return jnp.sum(sharded_cheby_op(sg, lmax, c, xp, mesh, ell=ell) ** 2)
 
     g1 = jax.grad(loss)(5.0)
@@ -178,7 +182,7 @@ def test_sharded_split_boundary(problem):
     want = np.asarray(matvec(G.L, jnp.asarray(x)))
     assert np.allclose(np.asarray(sg.unpad_signal(y)), want, atol=1e-10)
     c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[5, 20]).evaluate,
-                          G.lmax, m=20)
+                          G.lmax, m=10)
     out = sharded_cheby_op(sg, G.lmax, c, xp, mesh, ell=ell2)
     ref = np.asarray(cheby.cheby_op(G.L, G.lmax, c, jnp.asarray(x)))
     got = np.stack([np.asarray(sg.unpad_signal(out[f])) for f in range(2)])
