@@ -17,10 +17,13 @@ from pygsp_tpu import utils
 
 def compute_avg_adj_deg(G):
     """Average degree of a vertex and its neighbors
-    (``features.py:11-23``)."""
-    A = (G.W > 0).astype(float)
-    return np.asarray(np.sum(A @ A, axis=1)).ravel() / \
-        (np.asarray(np.sum(A, axis=1)).ravel() + 1.0)
+    (``features.py:11-23``). NOTE the reference computes a BOOLEAN
+    adjacency product (2-step reachability counts, not 2-path counts);
+    matched here."""
+    A = G.W > 0
+    reach2 = ((A @ A) > 0)
+    return np.asarray(reach2.sum(axis=1)).ravel().astype(float) / \
+        (np.asarray(A.sum(axis=1)).ravel() + 1.0)
 
 
 @utils.filterbank_handler

@@ -346,3 +346,85 @@ def tree_multiresolution(G, Nlevel, reduction_method='resistance_distance',
         subsampled.append(keep)
 
     return Gs, subsampled
+
+
+def effective_resistances_sketch(G, n_probes: int = 24, seed: int = 0,
+                                 maxiter: int = 300, tol: float = 1e-6):
+    """Per-edge effective resistances by Johnson–Lindenstrauss sketching.
+
+    Spielman–Srivastava estimator: ``R_e ≈ ‖Z(e_u − e_v)‖²`` with
+    ``Z = Q W^{1/2} B L^+`` and Q a ±1/√k random projection — k CG solves
+    with the SpMM kernel instead of the reference's dense pseudo-inverse
+    (``utils.resistance_distance``, ``utils.py:140-181``, O(N³)/O(N²)
+    memory). Accuracy ~(1 ± O(1/√k)) per edge; enough for the
+    sparsification sampling distribution.
+
+    Returns (sources, targets, R) for the undirected edge list.
+    """
+    import jax
+    import jax.numpy as jnp
+    from pygsp_tpu.core.operators import matvec
+
+    if G.lap_type != 'combinatorial':
+        raise NotImplementedError('Need a combinatorial Laplacian.')
+
+    sources, targets, weights = G.get_edge_list()
+    e = len(sources)
+    rng = np.random.default_rng(seed)
+    # Y = (Q W^{1/2} B)ᵀ : (N, k) — B has ±1 rows per edge
+    q = (rng.integers(0, 2, size=(n_probes, e)) * 2 - 1) / np.sqrt(n_probes)
+    qw = q * np.sqrt(np.asarray(weights))[None, :]
+    Y = np.zeros((G.N, n_probes))
+    np.add.at(Y, sources, qw.T)
+    np.subtract.at(Y, targets, qw.T)
+
+    L = G.L
+    # deflate the constant null-space so CG converges on the pseudo-inverse
+    Yj = jnp.asarray(Y)
+    Yj = Yj - jnp.mean(Yj, axis=0, keepdims=True)
+
+    def op(x):
+        return matvec(L, x)
+
+    Z, _ = jax.scipy.sparse.linalg.cg(op, Yj, tol=tol, maxiter=maxiter)
+    Z = Z - jnp.mean(Z, axis=0, keepdims=True)
+    diff = Z[jnp.asarray(sources)] - Z[jnp.asarray(targets)]    # (E, k)
+    R = jnp.sum(diff ** 2, axis=1)
+    return sources, targets, np.asarray(R)
+
+
+def graph_sparsify_sketch(G, epsilon, n_probes: int = 24, maxiter: int = 10,
+                          seed=None):
+    """Spectral sparsification with sketched resistances — the large-graph
+    variant of :func:`graph_sparsify` (which inverts L densely)."""
+    import scipy.sparse as sps
+
+    N = G.N
+    if not 1.0 / np.sqrt(N) <= epsilon < 1:
+        raise ValueError('GRAPH_SPARSIFY: Epsilon out of required range')
+    start_nodes, end_nodes, weights = G.get_edge_list()
+    _, _, Re = effective_resistances_sketch(G, n_probes=n_probes, seed=0)
+    weights = np.maximum(0, np.asarray(weights))
+    Re = np.maximum(0, Re)
+    Pe = weights * Re
+    Pe = Pe / np.sum(Pe)
+
+    rng = np.random.default_rng(seed)
+    for i in range(maxiter):
+        C = 4.0 / 30
+        q = int(round(N * np.log(N) * 9 * C ** 2 / epsilon ** 2))
+        counts = np.bincount(rng.choice(len(Pe), size=q, p=Pe),
+                             minlength=len(Pe))
+        new_weights = counts * (weights / (q * Pe))
+        W = sps.csc_matrix((new_weights, (start_nodes, end_nodes)),
+                           shape=(N, N))
+        W = W + W.T
+        n_comp, _ = sps.csgraph.connected_components(W, directed=False)
+        if n_comp == 1:
+            break
+        epsilon -= (epsilon - 1 / np.sqrt(N)) / 2.0
+    else:
+        logger.warning('Sparsified graph remained disconnected')
+    W = W.tolil()
+    W.setdiag(0)
+    return _graphs.Graph(W.tocsr())
