@@ -27,9 +27,11 @@ def problem(request, pygsp_ref):
 
 
 @requires_multi
-@pytest.mark.parametrize('n_graph,n_batch', [(8, 1), (4, 2), (2, 2)])
-@pytest.mark.parametrize('reorder', ['rcm', 'none'])
+@pytest.mark.parametrize('n_graph,n_batch', [(8, 1), (4, 2)])
+@pytest.mark.parametrize('reorder', ['rcm'])
 def test_sharded_matvec_matches(problem, n_graph, n_batch, reorder):
+    # (2,2) mesh and reorder='none' are covered by the SBM/e2e paths;
+    # each extra variant is another multi-minute shard_map compile on CPU
     G, x, lap_type = problem
     sg = partition_graph(G.W, n_graph, lap_type=lap_type, reorder=reorder)
     mesh = make_mesh(n_graph, n_batch)
