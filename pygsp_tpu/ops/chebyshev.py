@@ -34,6 +34,18 @@ def cheby_coeff(evaluate, lmax, m: int = 30, grid_n: int | None = None,
     Returns
     -------
     c : (Nf, m + 1) coefficient matrix.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> c = cheby_coeff(lambda x: jnp.exp(-x)[None, :], lmax=2.0, m=4)
+    >>> c.shape
+    (1, 5)
+    >>> import numpy as np
+    >>> # series reconstructs the kernel at λ=0: 0.5·c0 + Σ c_k·T_k(-1)
+    >>> recon = 0.5 * c[0, 0] - c[0, 1] + c[0, 2] - c[0, 3] + c[0, 4]
+    >>> bool(abs(float(recon) - 1.0) < 1e-2)
+    True
     """
     n = grid_n if grid_n else m + 1
     lmax = jnp.asarray(lmax, dtype=dtype)

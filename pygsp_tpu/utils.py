@@ -36,6 +36,17 @@ def symmetrize(W, method: str = 'average'):
     Methods match ``utils.symmetrize`` (``utils.py:184-277``):
     'average', 'maximum', 'fill' (fill zeros from transpose, average
     ambiguous), 'tril'/'triu' (keep one triangle, mirror it).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> W = np.array([[0., 3.], [1., 0.]])
+    >>> symmetrize(W, 'average')
+    array([[0., 2.],
+           [2., 0.]])
+    >>> symmetrize(W, 'maximum')
+    array([[0., 3.],
+           [3., 0.]])
     """
     if W.shape[0] != W.shape[1]:
         raise ValueError('Matrix must be square.')
@@ -67,6 +78,14 @@ def distanz(x, y=None):
 
     x, y: (d, Nx), (d, Ny) (1-D inputs are promoted to one row);
     returns (Nx, Ny). Role of ``utils.distanz`` (``utils.py:84-137``).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> distanz(np.arange(3))
+    array([[0., 1., 2.],
+           [1., 0., 1.],
+           [2., 1., 0.]])
     """
     x = np.asarray(x, dtype=float)
     x = x.reshape(1, -1) if x.ndim == 1 else x
