@@ -173,3 +173,43 @@ def test_filter_bank_ops(pair):
     assert len(g) == 2
     x = jnp.linspace(0, 13.0, 10)
     assert g(x).shape == (2, 10)
+
+
+def test_approximations_facade_parity(pair, pygsp_ref, rng):
+    """The pygsp-style free functions keep the reference's calling
+    conventions and layouts."""
+    from pygsp_tpu.filters import approximations as ap
+    G, Gr = pair
+    g = gsp.filters.Heat(G, scale=[5, 20])
+    gr = pygsp_ref.filters.Heat(Gr, scale=[5, 20])
+
+    c_list = ap.compute_cheby_coeff(g, m=20)
+    c_ref = pygsp_ref.filters.approximations.compute_cheby_coeff(gr, m=20)
+    assert len(c_list) == 2
+    assert np.allclose(np.asarray(c_list[0]), c_ref[0], atol=1e-10)
+
+    s = rng.normal(size=(G.N, 3))
+    r = np.asarray(ap.cheby_op(G, np.stack([np.asarray(c) for c in c_list]), s))
+    r_ref = pygsp_ref.filters.approximations.cheby_op(
+        Gr, [np.asarray(c) for c in c_ref], s)
+    assert r.shape == r_ref.shape      # stacked (N*Nf, Nv) layout
+    assert np.allclose(r, r_ref, atol=1e-9)
+
+    # our lanczos_op works (reference's is dead code) and uses the same
+    # stacked layout
+    out = np.asarray(ap.lanczos_op(g, s[:, 0], order=25))
+    assert out.shape == (2 * G.N,)
+
+
+def test_compute_frame_matches_reference(pygsp_ref, rng):
+    W = rng.uniform(0.1, 1, (30, 30)) * (rng.uniform(size=(30, 30)) < 0.3)
+    W = np.triu(W, 1); W = W + W.T
+    G = gsp.graphs.Graph(W)
+    Gr = pygsp_ref.graphs.Graph(W)
+    G.compute_fourier_basis(); Gr.compute_fourier_basis()
+    g = gsp.filters.Heat(G, scale=[3, 9])
+    gr = pygsp_ref.filters.Heat(Gr, scale=[3, 9])
+    ours = np.asarray(g.compute_frame(method='exact'))
+    theirs = gr.compute_frame(method='exact')
+    assert ours.shape == theirs.shape == (60, 30)
+    assert np.allclose(ours, theirs, atol=1e-8)
