@@ -310,3 +310,13 @@ def test_ba_fast_ensemble():
         c1 = ((d1 >= lo) & (d1 < hi)).sum()
         c2 = ((d2 >= lo) & (d2 < hi)).sum()
         assert abs(c1 - c2) < 0.1 * max(c1, c2) + 50, (lo, hi, c1, c2)
+
+
+@pytest.mark.parametrize('fmt', ['graphml', 'gml', 'gexf'])
+def test_save_load_all_formats(tmp_path, rng, fmt):
+    G = gsp.graphs.Sensor(12, seed=2)
+    G.set_signal('x', rng.normal(size=12))
+    path = str(tmp_path / f'g.{fmt}')
+    G.save(path)
+    G2 = gsp.graphs.Graph.load(path)
+    assert np.allclose(G2.W.toarray(), G.W.toarray(), atol=1e-6)
