@@ -77,20 +77,78 @@ def matvec_adj(W, x):
 
 
 def fourier_basis(L: LaplacianOp, n_eigenvectors: int | None = None):
-    """(Partial) eigendecomposition of the (densified) Laplacian.
+    """(Partial) eigendecomposition of the Laplacian.
 
     Returns (e, U), ascending, with e[0] clamped to exactly 0 like the
-    reference (``graphs/fourier.py:178-182``). Dense ``eigh`` throughout:
-    on TPU a partial ARPACK-style solve has no advantage below the size
-    where the exact path is sensible at all, so partial results are slices
-    of the full decomposition.
+    reference (``graphs/fourier.py:178-182``). Full requests densify and
+    run ``eigh``; partial requests with k ≪ N dispatch to the iterative
+    LOBPCG path (:func:`partial_fourier_basis`) — the role ARPACK
+    ``eigsh(k, which='SM')`` plays in ``graphs/fourier.py:171-175`` —
+    so eigenmap layouts of large graphs never touch an O(N³) solve.
     """
+    n = L.n_vertices
+    k = n if n_eigenvectors is None else int(n_eigenvectors)
+    # Iterative path only when it wins: k small relative to N and N big
+    # enough that dense eigh hurts. LOBPCG needs 5k < n for its basis.
+    if k < n and n > 2000 and 5 * k < n:
+        return partial_fourier_basis(L, k)
     dense = L.to_dense()
     e, U = jnp.linalg.eigh(dense)
     e = e.at[0].set(0.0)
-    if n_eigenvectors is not None and n_eigenvectors < e.shape[0]:
-        e, U = e[:n_eigenvectors], U[:, :n_eigenvectors]
+    if k < e.shape[0]:
+        e, U = e[:k], U[:, :k]
     return e, U
+
+
+def laplacian_upper_bound(L: LaplacianOp):
+    """Gershgorin bound on λmax straight from the operator pytree:
+    ``max_i (diag_i + Σ_j |offdiag_ij|)``; works for any storage format."""
+    off = L.offdiag
+    from pygsp_tpu.core import sparse as _sp
+    if isinstance(off, _sp.ELLMatrix):
+        absrow = jnp.sum(jnp.abs(off.ell_vals), axis=1)[:off.n_rows]
+        for lvl in off.levels:
+            absrow = absrow.at[lvl.rows].add(
+                jnp.sum(jnp.abs(lvl.vals), axis=1), mode='drop',
+                unique_indices=True)
+    elif isinstance(off, _sp.BandedMatrix):
+        absrow = jnp.sum(jnp.abs(off.tiles), axis=(1, 3)).reshape(-1)[:off.n_rows]
+    else:
+        absrow = jax.ops.segment_sum(jnp.abs(off.vals), off.rows,
+                                     num_segments=off.n_rows,
+                                     indices_are_sorted=True)
+    return jnp.max(L.diag + absrow)
+
+
+def partial_fourier_basis(L: LaplacianOp, k: int, *, maxiter: int = 300,
+                          tol=None, seed: int = 17):
+    """k smallest eigenpairs of L via LOBPCG on the flipped operator.
+
+    ``jax.experimental.sparse.linalg.lobpcg_standard`` finds the TOP-k of
+    a symmetric operator; the bottom of L's spectrum is the top of
+    ``B = c·I − L`` for any upper bound c ≥ λmax (Gershgorin here), so we
+    run LOBPCG on B and map back ``λ = c − θ``. Matches the role of the
+    reference's ``sparse.linalg.eigsh(L, k, which='SM')``
+    (``graphs/fourier.py:171-175``) with O(k·|E|·iters) work instead of
+    O(N³) — each iteration is one k-wide SpMM on the same kernel as
+    filtering.
+    """
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    n = L.n_vertices
+    if not 1 <= k or 5 * k >= n:
+        raise ValueError(f'need 1 <= k and 5k < n, got k={k}, n={n}')
+    c = laplacian_upper_bound(L) * 1.01
+
+    def B(x):
+        return c * x - matvec(L, x)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(seed), (n, k), dtype=L.dtype)
+    theta, U, _ = lobpcg_standard(B, x0, m=maxiter, tol=tol)
+    e = c - theta
+    order = jnp.argsort(e)
+    e = e[order].at[0].set(0.0)
+    return e, U[:, order]
 
 
 def power_iteration_lmax(L: LaplacianOp, iters: int = 100, seed: int = 0):

@@ -83,12 +83,21 @@ class ShardedGraph:
 
 
 def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
-                    reorder: str = 'rcm', dtype=None) -> ShardedGraph:
+                    reorder: str = 'rcm', balance: str = 'nnz',
+                    dtype=None) -> ShardedGraph:
     """Partition a symmetric scipy adjacency into a :class:`ShardedGraph`.
 
     reorder: 'rcm' (reverse Cuthill–McKee, minimizes boundary volume for
     mesh-like graphs), 'none' (keep order — SBM graphs sorted by community
     are already block-local).
+
+    balance: 'nnz' splits the (reordered) vertex sequence at degree-
+    weighted boundaries so every shard owns ~nnz/S edges — on power-law
+    graphs this stops one shard inheriting all the hub rows and shrinks
+    the static per-shard edge width E (= max over shards) toward the
+    mean. 'vertex' is the plain equal-vertex-count split. Shards own
+    contiguous (possibly different-length) vertex ranges, each padded to
+    a common ``n_local`` so shapes stay uniform for ``shard_map``.
     """
     W = sps.csr_matrix(W)
     N = W.shape[0]
@@ -101,12 +110,34 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
         order = np.arange(N)
     else:
         raise ValueError(f'Unknown reorder {reorder!r}')
-    perm = np.empty(N, dtype=np.int64)
-    perm[order] = np.arange(N)          # original id -> new position
     Wp = W[order][:, order].tocsr()
 
-    n_local = _round_up(int(np.ceil(N / n_shards)), 8)
+    # --- shard boundaries over the reordered vertex sequence -------------
+    deg_rank = np.diff(Wp.indptr)             # degree of each rank
+    if balance == 'nnz' and deg_rank.sum() > 0:
+        # split cumulative degree evenly; +1 per vertex regularizes
+        # zero-degree stretches so vertex counts can't run away
+        cum = np.cumsum(deg_rank + 1)
+        targets = cum[-1] / n_shards * np.arange(1, n_shards)
+        bounds = np.searchsorted(cum, targets, side='left')
+        bounds = np.concatenate([[0], bounds, [N]]).astype(np.int64)
+        # monotonicity guard for degenerate distributions
+        bounds = np.maximum.accumulate(bounds)
+    elif balance in ('vertex', 'nnz'):
+        even = int(np.ceil(N / n_shards))
+        bounds = np.minimum(np.arange(n_shards + 1) * even, N)
+    else:
+        raise ValueError(f'Unknown balance {balance!r}')
+    range_len = np.diff(bounds)               # vertices owned by each shard
+    n_local = max(_round_up(int(range_len.max()), 8), 8)
     n_pad = n_shards * n_local
+
+    # rank (position in reordered sequence) -> padded slot position
+    shard_of_rank = np.searchsorted(bounds, np.arange(N), side='right') - 1
+    pos_of_rank = (shard_of_rank * n_local
+                   + np.arange(N) - bounds[shard_of_rank])
+    perm = np.empty(N, dtype=np.int64)
+    perm[order] = pos_of_rank               # original id -> padded position
 
     # Laplacian values on the reordered graph
     dw = np.ravel(Wp.sum(axis=1))
@@ -122,7 +153,8 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
     else:
         raise ValueError(f'Unknown lap_type {lap_type!r}')
 
-    rows_all, cols_all = coo.row.astype(np.int64), coo.col.astype(np.int64)
+    rows_all = pos_of_rank[coo.row]
+    cols_all = pos_of_rank[coo.col]
     shard_of = rows_all // n_local
 
     # --- pass 1 (vectorized): per-shard halo vertex sets and H ----------
@@ -173,10 +205,9 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
         cols_arr[s, :ne] = c_ext
         vals_arr[s, :ne] = v
 
-    diag_arr = np.zeros((n_shards, n_local), dtype=dtype)
     flat = np.zeros(n_pad, dtype=dtype)
-    flat[:N] = diag_all
-    diag_arr[:] = flat.reshape(n_shards, n_local)
+    flat[pos_of_rank] = diag_all
+    diag_arr = flat.reshape(n_shards, n_local)
 
     return ShardedGraph(
         rows=jnp.asarray(rows_arr), cols=jnp.asarray(cols_arr),

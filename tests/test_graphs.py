@@ -97,6 +97,32 @@ def test_gft_roundtrip(rng):
     assert G.coherence < 1
 
 
+def test_partial_fourier_basis_matches_eigsh():
+    """LOBPCG partial path == ARPACK eigsh(which='SM') (the reference's
+    partial eigensolver, fourier.py:171-175) on a mid-size graph."""
+    import scipy.sparse.linalg as spl
+    G = gsp.graphs.Sensor(2500, k=8, seed=3)
+    from pygsp_tpu.ops.eigen import partial_fourier_basis
+    e, U = partial_fourier_basis(G._L, 4)
+    e, U = np.asarray(e), np.asarray(U)
+    er, Ur = spl.eigsh(G._L.to_scipy(), 4, which='SM')
+    assert np.allclose(e, er, atol=1e-6)
+    # eigenvectors agree up to sign (sign-aligned comparison)
+    align = np.abs(U.T @ Ur)
+    assert np.allclose(np.diag(align), 1.0, atol=1e-4)
+
+
+def test_compute_fourier_basis_partial_dispatch():
+    """compute_fourier_basis(n_eigenvectors=k) on a large graph routes to
+    the iterative solver and feeds eigenmap layouts."""
+    G = gsp.graphs.Sensor(2500, k=8, seed=3)
+    G.compute_fourier_basis(n_eigenvectors=3)
+    assert np.asarray(G._U).shape == (2500, 3)
+    assert float(G._e[0]) == 0.0
+    G.set_coordinates('laplacian_eigenmap2D')
+    assert G.coords.shape == (2500, 2)
+
+
 ZOO = [
     ('Logo', dict(), 1130),
     ('Minnesota', dict(), 2642),
