@@ -51,3 +51,7 @@ def __getattr__(name):
         globals()[name] = module
         return module
     raise AttributeError(f"module 'pygsp_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(__all__))

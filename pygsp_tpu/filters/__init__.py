@@ -39,3 +39,13 @@ def __getattr__(name):
     except ImportError:
         pass
     raise AttributeError(f"module 'pygsp_tpu.filters' has no attribute {name!r}")
+
+
+_APPROX_NAMES = ('compute_cheby_coeff', 'compute_jackson_cheby_coeff',
+                 'cheby_op', 'cheby_rect', 'lanczos', 'lanczos_op')
+
+
+def __dir__():
+    """Expose the lazy zoo to dir()/tab-completion (the reference exports
+    everything eagerly, ``filters/__init__.py:114-136``)."""
+    return sorted(set(globals()) | set(_LAZY) | set(_APPROX_NAMES))

@@ -41,3 +41,9 @@ def __getattr__(name):
     except ImportError:
         pass
     raise AttributeError(f"module 'pygsp_tpu.graphs' has no attribute {name!r}")
+
+
+def __dir__():
+    """Expose the lazy zoo to dir()/tab-completion (the reference exports
+    everything eagerly, ``graphs/__init__.py:187-215``)."""
+    return sorted(set(globals()) | set(_LAZY) | {'Graph'})

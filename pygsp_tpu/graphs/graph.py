@@ -73,7 +73,7 @@ class Graph:
 
         self.coords = None if coords is None else np.asarray(coords)
         self.plotting = {'vertex_size': 100, 'vertex_color': (0.12, 0.47, 0.71, 0.5),
-                         'edge_color': (0.5, 0.5, 0.5, 0.5), 'edge_width': 1,
+                         'edge_color': (0.5, 0.5, 0.5, 0.5), 'edge_width': 2,
                          'edge_style': '-', 'highlight_color': 'C1',
                          'normalize_intercept': .25}
         if plotting:

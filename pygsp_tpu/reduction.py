@@ -37,9 +37,24 @@ def _analysis(g, s, **kwargs):
     return s.swapaxes(1, 2).reshape(-1, s.shape[1], order='F')
 
 
-def kron_reduction(G, ind):
+def kron_reduction(G, ind, method: str = 'auto', seed=None):
     """Schur complement of L onto the kept indices; rebuilds a Graph with
-    the implied weights (reference ``reduction.py:309-381``)."""
+    the implied weights (role of the reference's ``reduction.py:309-381``).
+
+    method:
+      'exact'      — linear solve against the dropped block (device dense
+                     LU when the dropped set is small, SciPy sparse LU
+                     above that). The Schur complement of a sparse
+                     Laplacian FILLS IN: exact reduction of a large graph
+                     produces a dense result and is quadratic in memory.
+      'eliminate'  — sequential star-mesh elimination of the dropped
+                     vertices with unbiased clique *sampling* (approximate
+                     Gaussian elimination à la Kyng–Sachdeva): linear-ish
+                     memory, unbiased in expectation, the only practical
+                     route past ~10⁴ dropped vertices.
+      'auto'       — 'exact' while the dropped set is ≤ %d, else
+                     'eliminate'.
+    """ % _DENSE_SOLVE_MAX
     if isinstance(G, _graphs.Graph):
         if G.lap_type != 'combinatorial':
             raise NotImplementedError(
@@ -52,107 +67,238 @@ def kron_reduction(G, ind):
         L = sps.csr_matrix(G)
 
     N = L.shape[0]
-    ind = np.asarray(ind)
-    ind_comp = np.setdiff1d(np.arange(N, dtype=int), ind)
+    keep = np.asarray(ind)
+    drop = np.setdiff1d(np.arange(N, dtype=int), keep)
+    if method == 'auto':
+        method = 'exact' if len(drop) <= _DENSE_SOLVE_MAX else 'eliminate'
 
-    L_red = L[np.ix_(ind, ind)]
-    L_in_out = L[np.ix_(ind, ind_comp)]
-    L_out_in = L[np.ix_(ind_comp, ind)].tocsc()
-    L_comp = L[np.ix_(ind_comp, ind_comp)].tocsc()
+    if method == 'eliminate':
+        Lnew = _schur_by_elimination(L, keep, drop, seed=seed)
+    elif method == 'exact':
+        L_kk = L[np.ix_(keep, keep)]             # kept block
+        L_kd = L[np.ix_(keep, drop)]             # kept x dropped coupling
+        L_dk = L[np.ix_(drop, keep)].tocsc()
+        L_dd = L[np.ix_(drop, drop)].tocsc()     # dropped block
 
-    if len(ind_comp) <= _DENSE_SOLVE_MAX:
-        # device dense solve (one LU of the complement block)
-        X = np.asarray(jnp.linalg.solve(jnp.asarray(L_comp.toarray()),
-                                        jnp.asarray(L_out_in.toarray())))
-        Lnew = L_red.toarray() - L_in_out.toarray() @ X
-        Lnew = sps.csr_matrix(Lnew)
+        if len(drop) <= _DENSE_SOLVE_MAX:
+            # one device dense LU of the dropped block
+            X = np.asarray(jnp.linalg.solve(jnp.asarray(L_dd.toarray()),
+                                            jnp.asarray(L_dk.toarray())))
+            Lnew = sps.csr_matrix(L_kk.toarray() - L_kd.toarray() @ X)
+        else:
+            Lnew = sps.csr_matrix(L_kk - L_kd.dot(
+                spslinalg.spsolve(L_dd, L_dk)))
+
+        # symmetrize tiny asymmetries from the solve
+        if np.abs(Lnew - Lnew.T).sum() < np.spacing(1) * np.abs(Lnew).sum():
+            Lnew = (Lnew + Lnew.T) / 2.0
     else:
-        Lnew = L_red - L_in_out.dot(spslinalg.spsolve(L_comp, L_out_in))
-        Lnew = sps.csr_matrix(Lnew)
-
-    # symmetrize tiny asymmetries from the solve
-    if np.abs(Lnew - Lnew.T).sum() < np.spacing(1) * np.abs(Lnew).sum():
-        Lnew = (Lnew + Lnew.T) / 2.0
+        raise ValueError(f'Unknown method {method!r}')
 
     if isinstance(G, _graphs.Graph):
         Wnew = sps.diags(Lnew.diagonal(), 0) - Lnew
-        Snew = Lnew.diagonal() - np.ravel(Wnew.sum(0))
-        if np.linalg.norm(Snew, 2) >= np.spacing(1000):
-            Wnew = Wnew + sps.diags(Snew, 0)
+        # re-inject any diagonal slack the solve left behind (vertices
+        # whose Schur row no longer sums to zero keep a self-term)
+        slack = Lnew.diagonal() - np.ravel(Wnew.sum(0))
+        if np.linalg.norm(slack, 2) >= np.spacing(1000):
+            Wnew = Wnew + sps.diags(slack, 0)
         Wnew = Wnew.tolil()
         Wnew.setdiag(0)
         Wnew = Wnew.tocsr()
         Wnew.eliminate_zeros()
 
-        coords = G.coords[ind] if G.coords is not None else None
+        coords = G.coords[np.asarray(ind)] if G.coords is not None else None
         return _graphs.Graph(Wnew, coords=coords, lap_type=G.lap_type,
                              plotting=G.plotting)
     return Lnew
 
 
-def graph_sparsify(M, epsilon, maxiter=10, seed=None):
-    """Spielman–Srivastava spectral sparsification by effective-resistance
-    sampling (reference ``reduction.py:34-147``; ``itemfreq`` fixed)."""
-    if isinstance(M, _graphs.Graph):
-        if M.lap_type != 'combinatorial':
-            raise NotImplementedError
-        L = sps.csc_matrix(M.L.to_scipy())
-    else:
-        L = sps.csc_matrix(M)
+def _schur_by_elimination(L, keep, drop, seed=None, exact_degree: int = 6):
+    """Approximate Schur complement by star-mesh elimination.
 
-    N = L.shape[0]
-    if not 1.0 / np.sqrt(N) <= epsilon < 1:
-        raise ValueError('GRAPH_SPARSIFY: Epsilon out of required range')
-
-    resistance_distances = utils.resistance_distance(L).toarray()
-    if isinstance(M, _graphs.Graph):
-        W = M.W
-    else:
-        W = sps.diags(L.diagonal()) - L
-        W = W.tocsr()
-        W.data[W.data < 1e-10] = 0
-        W.eliminate_zeros()
-
-    start_nodes, end_nodes, weights = sps.find(sps.tril(W))
-    weights = np.maximum(0, weights)
-    Re = np.maximum(0, resistance_distances[start_nodes, end_nodes])
-    Pe = weights * Re
-    Pe = Pe / np.sum(Pe)
-
+    Eliminating vertex v from a Laplacian replaces its star by the clique
+    with weights ``w_i w_j / W`` (W = Σ w) — exactly one Gaussian
+    elimination step. Done literally, dense fill-in is quadratic; instead,
+    vertices are eliminated in approximate-min-degree order and cliques of
+    degree > ``exact_degree`` are *sampled*: each neighbor i anchors one
+    drawn partner j ∼ w_j/(W − w_i) and contributes an edge of weight
+    ``w_i (W − w_i) / (2 W)``, which reproduces the exact clique in
+    expectation while adding only deg(v) edges. Returns the reduced
+    Laplacian over ``keep`` (CSR, keep-order).
+    """
     rng = np.random.default_rng(seed)
-    sparserL = None
-    for i in range(maxiter):
-        C0 = 1 / 30.0
-        C = 4 * C0
-        q = int(round(N * np.log(N) * 9 * C ** 2 / (epsilon ** 2)))
+    n = L.shape[0]
+    W = sps.diags(L.diagonal()) - L       # adjacency (+ no self loops)
+    W = sps.csr_matrix(W)
+    W.setdiag(0)
+    W.eliminate_zeros()
+    # diagonal slack (e.g. the +eps*I of the regularized green kernel) is
+    # an edge to a virtual ground vertex; star-mesh must route through it
+    slack = np.asarray(L.diagonal() - np.ravel(W.sum(1)))
 
-        results = rng.choice(len(Pe), size=q, p=Pe)
-        counts = np.bincount(results, minlength=len(Pe))
-        per_spin_weights = weights / (q * Pe)
-        new_weights = counts * per_spin_weights
+    adj = [dict() for _ in range(n)]
+    coo = W.tocoo()
+    for i, j, w in zip(coo.row, coo.col, coo.data):
+        if i != j and w != 0:
+            adj[i][j] = adj[i].get(j, 0.0) + w
 
-        sparserW = sps.csc_matrix((new_weights, (start_nodes, end_nodes)),
-                                  shape=(N, N))
-        sparserW = sparserW + sparserW.T
-        sparserL = sps.diags(sparserW.diagonal(), 0) - sparserW
+    import heapq
+    drop_set = np.zeros(n, dtype=bool)
+    drop_set[drop] = True
+    heap = [(len(adj[v]), v) for v in drop]
+    heapq.heapify(heap)
+    alive = np.ones(n, dtype=bool)
 
-        n_comp, _ = sps.csgraph.connected_components(sparserW, directed=False)
+    def add_edge(a, b, w):
+        adj[a][b] = adj[a].get(b, 0.0) + w
+        adj[b][a] = adj[b].get(a, 0.0) + w
+
+    while heap:
+        d, v = heapq.heappop(heap)
+        if not alive[v]:
+            continue
+        if d != len(adj[v]):                  # stale degree: re-queue
+            heapq.heappush(heap, (len(adj[v]), v))
+            continue
+        alive[v] = False
+        nbrs = adj[v]
+        ids = np.fromiter(nbrs.keys(), dtype=np.int64, count=len(nbrs))
+        ws = np.fromiter(nbrs.values(), dtype=np.float64, count=len(nbrs))
+        for u in ids:
+            del adj[u][v]
+        adj[v] = {}
+        w_real = ws.sum()
+        total = w_real + slack[v]             # ground edge joins the star
+        if total <= 0 or len(ids) < 1:
+            continue
+        # ground coupling is deterministic: neighbor i inherits slack
+        # w_i * s_v / total (kept exact — it is only d updates)
+        if slack[v] != 0:
+            slack[ids] += ws * slack[v] / total
+        if len(ids) < 2:
+            continue
+        if len(ids) <= exact_degree:
+            scale = 1.0 / total
+            for a in range(len(ids)):
+                for b in range(a + 1, len(ids)):
+                    add_edge(ids[a], ids[b], ws[a] * ws[b] * scale)
+        else:
+            p = ws / w_real
+            partners = rng.choice(len(ids), size=len(ids), p=p)
+            # redraw collisions j == anchor (rejection, expected O(1))
+            bad = partners == np.arange(len(ids))
+            while bad.any():
+                partners[bad] = rng.choice(len(ids), size=int(bad.sum()),
+                                           p=p)
+                bad = partners == np.arange(len(ids))
+            wt = ws * (w_real - ws) / (2.0 * total)
+            for a, j, w in zip(range(len(ids)), partners, wt):
+                add_edge(ids[a], ids[j], w)
+
+    # assemble reduced Laplacian over keep (in keep order)
+    pos = np.full(n, -1, dtype=np.int64)
+    pos[keep] = np.arange(len(keep))
+    rows, cols, vals = [], [], []
+    for v in keep:
+        pv = pos[v]
+        for u, w in adj[v].items():
+            pu = pos[u]
+            if pu >= 0:
+                rows.append(pv)
+                cols.append(pu)
+                vals.append(w)
+    Wred = sps.csr_matrix((vals, (rows, cols)),
+                          shape=(len(keep), len(keep)))
+    Wred = (Wred + Wred.T) / 2.0
+    return sps.csr_matrix(sps.diags(np.ravel(Wred.sum(1)) + slack[keep])
+                          - Wred)
+
+
+# below this many vertices the exact dense pseudo-inverse of L is cheaper
+# than sketching; above it graph_sparsify switches to CG-probe sketches
+_DENSE_RESISTANCE_MAX = 3000
+
+
+def _resample_by_resistance(srcs, tgts, weights, Re, N, epsilon, maxiter,
+                            rng):
+    """Importance-resample the edge list ∝ w·R (leverage scores) and
+    reweight so the sampled Laplacian is unbiased; shrink epsilon and
+    retry while the sample is disconnected. Returns the sampled symmetric
+    adjacency (CSC)."""
+    weights = np.maximum(0, np.asarray(weights))
+    Re = np.maximum(0, np.asarray(Re))
+    leverage = weights * Re
+    leverage = leverage / leverage.sum()
+
+    sampledW = None
+    for attempt in range(maxiter):
+        # Spielman–Srivastava sample count q = O(N log N / eps^2); the
+        # 9·(4/30)² constant matches the reference's choice so sparsity
+        # levels stay comparable (reference reduction.py:106-110)
+        q = int(round(N * np.log(N) * 9 * (4 / 30.0) ** 2 / epsilon ** 2))
+        hits = np.bincount(rng.choice(len(leverage), size=q, p=leverage),
+                           minlength=len(leverage))
+        resampled = hits * weights / (q * leverage)
+        sampledW = sps.csc_matrix((resampled, (srcs, tgts)), shape=(N, N))
+        sampledW = sampledW + sampledW.T
+        n_comp, _ = sps.csgraph.connected_components(sampledW,
+                                                     directed=False)
         if n_comp == 1:
             break
-        elif i == maxiter - 1:
+        if attempt == maxiter - 1:
             logger.warning('Despite attempts to reduce epsilon, sparsified '
                            'graph is disconnected')
         else:
             epsilon -= (epsilon - 1 / np.sqrt(N)) / 2.0
+    return sampledW
+
+
+def graph_sparsify(M, epsilon, maxiter=10, seed=None, n_probes=24):
+    """Spectral sparsification by effective-resistance sampling.
+
+    Role of the reference's ``graph_sparsify`` (``reduction.py:34-147``,
+    whose ``itemfreq`` call is broken on modern SciPy). Resistances come
+    from the exact dense pseudo-inverse only below %d vertices; larger
+    graphs use the Johnson–Lindenstrauss CG sketch
+    (:func:`effective_resistances_sketch`) so no O(N³)/O(N²) dense solve
+    ever runs — this is what lets :func:`graph_multiresolution` scale.
+    """ % _DENSE_RESISTANCE_MAX
+    if isinstance(M, _graphs.Graph):
+        if M.lap_type != 'combinatorial':
+            raise NotImplementedError
+        G = M
+    else:
+        L = sps.csc_matrix(M)
+        W = sps.diags(L.diagonal()) - L
+        W = W.tocsr()
+        W.data[W.data < 1e-10] = 0
+        W.eliminate_zeros()
+        G = _graphs.Graph(W)
+
+    N = G.N
+    if not 1.0 / np.sqrt(N) <= epsilon < 1:
+        raise ValueError('GRAPH_SPARSIFY: Epsilon out of required range')
+
+    srcs, tgts, weights = (np.asarray(a) for a in G.get_edge_list())
+    if N <= _DENSE_RESISTANCE_MAX:
+        R_all = utils.resistance_distance(
+            sps.csc_matrix(G.L.to_scipy())).toarray()
+        Re = R_all[srcs, tgts]
+    else:
+        _, _, Re = effective_resistances_sketch(G, n_probes=n_probes,
+                                                seed=0)
+
+    rng = np.random.default_rng(seed)
+    sampledW = _resample_by_resistance(srcs, tgts, weights, Re, N, epsilon,
+                                       maxiter, rng)
 
     if isinstance(M, _graphs.Graph):
-        sparserW = sps.diags(sparserL.diagonal(), 0) - sparserL
-        if not M.is_directed():
-            sparserW = (sparserW + sparserW.T) / 2.0
-        sparserW = sparserW.tolil()
-        sparserW.setdiag(0)
-        return _graphs.Graph(sparserW.tocsr())
-    return sps.lil_matrix(sparserL)
+        sampledW = (sampledW + sampledW.T) / 2.0
+        sampledW = sampledW.tolil()
+        sampledW.setdiag(0)
+        return _graphs.Graph(sampledW.tocsr())
+    return sps.lil_matrix(sps.diags(np.ravel(sampledW.sum(0)))
+                          - sampledW)
 
 
 def interpolate(G, f_subsampled, keep_inds, order=100, reg_eps=0.005,
@@ -395,36 +541,19 @@ def effective_resistances_sketch(G, n_probes: int = 24, seed: int = 0,
 
 def graph_sparsify_sketch(G, epsilon, n_probes: int = 24, maxiter: int = 10,
                           seed=None):
-    """Spectral sparsification with sketched resistances — the large-graph
-    variant of :func:`graph_sparsify` (which inverts L densely)."""
-    import scipy.sparse as sps
-
+    """Sparsify with sketched resistances regardless of size (the path
+    :func:`graph_sparsify` takes automatically above %d vertices)."""
     N = G.N
     if not 1.0 / np.sqrt(N) <= epsilon < 1:
         raise ValueError('GRAPH_SPARSIFY: Epsilon out of required range')
-    start_nodes, end_nodes, weights = G.get_edge_list()
+    srcs, tgts, weights = (np.asarray(a) for a in G.get_edge_list())
     _, _, Re = effective_resistances_sketch(G, n_probes=n_probes, seed=0)
-    weights = np.maximum(0, np.asarray(weights))
-    Re = np.maximum(0, Re)
-    Pe = weights * Re
-    Pe = Pe / np.sum(Pe)
+    sampledW = _resample_by_resistance(
+        srcs, tgts, weights, Re, N, epsilon, maxiter,
+        np.random.default_rng(seed))
+    sampledW = sampledW.tolil()
+    sampledW.setdiag(0)
+    return _graphs.Graph(sampledW.tocsr())
 
-    rng = np.random.default_rng(seed)
-    for i in range(maxiter):
-        C = 4.0 / 30
-        q = int(round(N * np.log(N) * 9 * C ** 2 / epsilon ** 2))
-        counts = np.bincount(rng.choice(len(Pe), size=q, p=Pe),
-                             minlength=len(Pe))
-        new_weights = counts * (weights / (q * Pe))
-        W = sps.csc_matrix((new_weights, (start_nodes, end_nodes)),
-                           shape=(N, N))
-        W = W + W.T
-        n_comp, _ = sps.csgraph.connected_components(W, directed=False)
-        if n_comp == 1:
-            break
-        epsilon -= (epsilon - 1 / np.sqrt(N)) / 2.0
-    else:
-        logger.warning('Sparsified graph remained disconnected')
-    W = W.tolil()
-    W.setdiag(0)
-    return _graphs.Graph(W.tocsr())
+
+graph_sparsify_sketch.__doc__ %= _DENSE_RESISTANCE_MAX

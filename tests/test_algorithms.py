@@ -34,6 +34,47 @@ def test_graph_sparsify_sketch(sensor):
     assert H.Ne <= G.Ne * 3  # reweighted subsample, not densified
 
 
+def test_kron_elimination_spectrally_close():
+    """Star-mesh elimination Schur ~ exact Schur in quadratic forms, at a
+    fraction of the edges (the large-graph pyramid path)."""
+    G = gsp.graphs.Sensor(600, k=8, seed=5)
+    keep = np.arange(0, G.N, 2)
+    Ge = reduction.kron_reduction(G, keep, method='exact')
+    Ga = reduction.kron_reduction(G, keep, method='eliminate', seed=0)
+    X = np.random.default_rng(0).normal(size=(len(keep), 16))
+    qe = np.einsum('ik,ik->k', X, np.asarray(Ge.L.to_scipy() @ X))
+    qa = np.einsum('ik,ik->k', X, np.asarray(Ga.L.to_scipy() @ X))
+    assert np.all(np.abs(qa / qe - 1.0) < 0.1)
+    assert Ga.n_edges < Ge.n_edges / 4
+
+
+def test_kron_elimination_slack_ground():
+    """Diagonal slack (eps*I regularization) routes through the virtual
+    ground vertex: quadratic forms of Schur(L + eps I) stay unbiased."""
+    import scipy.sparse as sps
+    G = gsp.graphs.Sensor(400, k=8, seed=5)
+    L = sps.csr_matrix(G.L.to_scipy()) + 0.005 * sps.eye(G.N)
+    keep = np.arange(0, G.N, 2)
+    Ke = reduction.kron_reduction(L, keep, method='exact')
+    Ka = reduction.kron_reduction(L, keep, method='eliminate', seed=0)
+    x = np.random.default_rng(0).normal(size=len(keep))
+    assert abs((x @ (Ka @ x)) / (x @ (Ke @ x)) - 1.0) < 0.05
+
+
+def test_graph_sparsify_size_dispatch(monkeypatch):
+    """graph_sparsify uses the CG sketch above the dense-resistance
+    threshold (no dense pinv on large graphs)."""
+    G = gsp.graphs.Sensor(150, k=6, seed=2)
+    monkeypatch.setattr(reduction, '_DENSE_RESISTANCE_MAX', 100)
+
+    def boom(*a, **k):
+        raise AssertionError('dense resistance path used on large graph')
+
+    monkeypatch.setattr(utils, 'resistance_distance', boom)
+    H = reduction.graph_sparsify(G, 0.6, seed=3, n_probes=64)
+    assert H.N == G.N and H.is_connected()
+
+
 def test_regression_tikhonov_matches_reference(pygsp_ref, sensor, rng):
     G = sensor
     Gr = pygsp_ref.graphs.Graph(G.W)

@@ -179,6 +179,54 @@ def test_zoo_matches_reference(pygsp_ref, name, kwargs):
                            np.asarray(Gr.coords, dtype=float))
 
 
+def test_linegraph_matches_reference(pygsp_ref):
+    """LineGraph adjacency == reference (linegraph.py:34-53), including
+    the coords midpoint convention."""
+    G0 = gsp.graphs.Grid2d(4, 3)
+    L = gsp.graphs.LineGraph(G0)
+    Lr = pygsp_ref.graphs.LineGraph(pygsp_ref.graphs.Grid2d(4, 3))
+    assert L.N == Lr.N == G0.n_edges
+    assert (abs(L.W - Lr.W) > 1e-9).nnz == 0
+    assert np.allclose(np.asarray(L.coords, float), Lr.coords)
+
+
+def test_imgpatches_matches_reference(pygsp_ref):
+    """ImgPatches == reference behavior (nngraphs/imgpatches.py:51-100).
+
+    The reference's patch extraction requires scikit-image (absent here),
+    so parity splits in two: (a) our stride-tricks extraction reproduces
+    skimage's symmetric-pad patch vectors (hand-rolled oracle), (b) the
+    kNN stage matches the reference's NNGraph on those same vectors."""
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(9, 11)).astype(np.float64)
+    G = gsp.graphs.ImgPatches(img, patch_shape=(3, 3))
+    assert G.N == img.size
+
+    # (a) hand-rolled oracle: symmetric pad + 3x3 window per pixel
+    padded = np.pad(img, 1, mode='symmetric')
+    patches = np.stack([
+        padded[i:i + 3, j:j + 3].ravel()
+        for i in range(img.shape[0]) for j in range(img.shape[1])])
+    # (b) the kNN stage == reference NNGraph on identical vectors
+    Gr = pygsp_ref.graphs.NNGraph(patches, NNtype='knn', k=10)
+    assert np.allclose(G.W.toarray(), Gr.W.toarray(), atol=1e-10)
+
+
+def test_grid2dimgpatches_constructs(pygsp_ref):
+    """Aggregated grid + patch graph (nngraphs/grid2dimgpatches.py:37-42):
+    W = Wp + Wg with the grid's coords. (Reference class needs skimage,
+    absent here; the aggregation contract is checked directly.)"""
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(7, 8)).astype(np.float64)
+    G = gsp.graphs.Grid2dImgPatches(img)
+    Gg = gsp.graphs.Grid2d(7, 8)
+    Gp = gsp.graphs.ImgPatches(img)
+    assert G.N == img.size
+    assert np.allclose(G.W.toarray(), (Gp.W + Gg.W).toarray(), atol=1e-12)
+    assert np.allclose(np.asarray(G.coords, float),
+                       np.asarray(Gg.coords, float))
+
+
 def test_ring_matches_reference(pygsp_ref):
     # 2k < N cases match the reference exactly.  The 2k == N case is NOT
     # compared: the reference's antipodal branch is buggy (it assigns

@@ -48,8 +48,42 @@ def test_plot_every_graph(name, kwargs):
 def test_plot_options():
     G = gsp.graphs.Sensor(20, seed=1)
     ax = G.plot(edges=False, vertex_size=10, indices=True, highlight=[0, 3],
-                title='custom', limits=[0, 1, 0, 1])
+                title='custom', limits=[0, 1])
     assert ax.get_title() == 'custom'
+
+
+def test_plot_signal_sized_and_colored():
+    """Reference parity: vertex_size as a signal scales to [0.5, 2]x the
+    default; per-edge color/width signals normalize into alpha/width
+    (reference plotting.py:497-520)."""
+    G = gsp.graphs.Sensor(20, seed=1)
+    _, _, w = G.get_edge_list()
+    sig = np.arange(G.N, dtype=float)
+    ax = G.plot(vertex_color=sig, vertex_size=G.dw, edge_color=w,
+                edge_width=w)
+    sizes = ax.collections[-1].get_sizes()  # vertex scatter drawn last
+    assert sizes.min() >= 0.5 * 0.98 * 100 * 0.25  # intercept**2 * 4 * 100
+    assert sizes.max() <= 4 * 100 + 1e-6
+    # constant signal -> all sizes equal (normalize returns 0.5)
+    ax2 = G.plot(vertex_size=np.ones(G.N))
+    assert np.ptp(ax2.collections[-1].get_sizes()) == 0
+
+
+def test_plot_errors():
+    G = gsp.graphs.Sensor(20, seed=1)
+    with pytest.raises(ValueError):
+        G.plot(vertex_color=np.arange(G.N - 1, dtype=float))
+    with pytest.raises(ValueError):
+        G.plot(vertex_size=np.ones(3))
+    with pytest.raises(ValueError):
+        G.plot(edge_width=np.ones(G.Ne - 1))
+
+
+def test_plot_1d_coords():
+    G = gsp.graphs.Ring(12)
+    G.set_coordinates('line1D')
+    ax = G.plot(np.sin(np.arange(12.0)), highlight=2)
+    assert ax is not None
 
 
 def test_plot_signal_alias():
