@@ -67,18 +67,21 @@ def main():
     dw = np.ravel(W.sum(axis=1)).astype(np.float32)
     lmax = float(2 * dw.max())  # Gershgorin bound; exactness irrelevant here
 
-    from pygsp_tpu.core import sparse as core_sparse
+    from pygsp_tpu.core import chunked as core_chunked
     from pygsp_tpu.core.operators import LaplacianOp
     from pygsp_tpu.ops import chebyshev as cheby
 
     t0 = time.time()
     Wneg = W.copy()
     Wneg.data = -Wneg.data
-    H = core_sparse.ell_from_scipy(Wneg, dtype=np.float32)
+    H = core_chunked.chunked_from_scipy(Wneg, dtype=np.float32)
     L = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
                     lap_type='combinatorial')
+    slots = sum(b.cols.shape[0] * b.cols.shape[1] for b in H.blocks)
+    slots += sum(l.cols.shape[0] * l.cols.shape[1] for l in H.levels)
     log(f'device graph built in {time.time() - t0:.1f}s; '
-        f'ell_width={H.ell_width}; device={jax.devices()[0]}')
+        f'chunked blocks={len(H.blocks)} slot_pad={slots/nnz:.2f}; '
+        f'device={jax.devices()[0]}')
 
     def evaluate(lam):
         return jnp.exp(-jnp.asarray(SCALES, jnp.float32)[:, None]
@@ -101,19 +104,40 @@ def main():
     t0 = time.time()
     out = run(L, c, x)
     sync(out)
-    log(f'compile+first run: {time.time() - t0:.1f}s')
+    compile_s = time.time() - t0
+    log(f'compile+first run: {compile_s:.1f}s')
 
-    n_iter = 3
-    t0 = time.time()
-    for _ in range(n_iter):
+    # Timing: enqueue n_iter calls ASYNC, then ONE device->host sync.
+    # Per-iteration syncs pay a tunnel round trip each (measured to
+    # inflate ms-scale kernels 40x on this relay, benchmarks/
+    # chunked_diag5.py), and block_until_ready can silently no-op after
+    # a backend restart — a strided host read cannot lie.
+    n_iter, reps = 3, 3
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(n_iter - 1):
+            run(L, c, x)
         out = run(L, c, x)
         sync(out)
-    dt = (time.time() - t0) / n_iter
+        times.append((time.time() - t0) / n_iter)
+    dt = float(np.median(times))
     # edge-operations per second: each of the K SpMM steps touches every
     # stored edge once per signal column (shared across the Nf filters).
     edge_ops = K_ORDER * nnz * N_SIGNALS
     tpu_eps = edge_ops / dt
     log(f'device: {dt*1e3:.1f} ms/filterbank  -> {tpu_eps:.3e} edge-ops/s')
+
+    # %-of-roofline: format-independent minimum HBM traffic for one bank
+    # = K steps x (gather x[col] for every stored edge + 8B slot metadata
+    # + one output-buffer write), at this chip's measured sequential read
+    # bandwidth (~160 GB/s, benchmarks/gather_probe2.py).
+    read_bw = 160e9
+    min_bytes = K_ORDER * (nnz * (4 * N_SIGNALS + 8) + N * N_SIGNALS * 4)
+    roofline_s = min_bytes / read_bw
+    pct_roofline = 100.0 * roofline_s / dt
+    log(f'roofline: min {min_bytes/1e9:.1f} GB @ {read_bw/1e9:.0f} GB/s '
+        f'= {roofline_s:.2f}s  -> {pct_roofline:.0f}% of roofline')
 
     # ---- reference implementation (SciPy CSR, reference cheby_op math) ----
     # throughput is per-edge-op, so measure on a column subsample to keep
@@ -137,6 +161,9 @@ def main():
         'value': tpu_eps,
         'unit': 'edge-ops/s/chip',
         'vs_baseline': tpu_eps / cpu_eps,
+        'pct_roofline': pct_roofline,
+        'per_bank_ms': dt * 1e3,
+        'compile_s': compile_s,
     }))
 
 

@@ -72,6 +72,24 @@ class LaplacianOp:
         return LaplacianOp(offdiag=sp.to_ell(self.offdiag, width=width),
                            diag=self.diag, lap_type=self.lap_type)
 
+    def to_chunked(self, chunk_rows: int | None = None) -> 'LaplacianOp':
+        """Convert the off-diagonal block to the chunked multi-level ELL
+        format — the fast path for power-law graphs past the VMEM gather
+        cliff (see ``core.chunked``). The Chebyshev scan then carries the
+        signal as a tuple of per-chunk buffers."""
+        from pygsp_tpu.core import chunked
+        if isinstance(self.offdiag, chunked.ChunkedELLMatrix):
+            return self
+        rows = np.asarray(self.offdiag.rows)[:self.offdiag.nnz]
+        cols = np.asarray(self.offdiag.cols)[:self.offdiag.nnz]
+        vals = np.asarray(self.offdiag.vals)[:self.offdiag.nnz]
+        kw = {} if chunk_rows is None else {'chunk_rows': chunk_rows}
+        return LaplacianOp(
+            offdiag=chunked.chunked_from_host_coo(
+                rows, cols, vals, self.offdiag.n_rows,
+                self.offdiag.n_cols, **kw),
+            diag=self.diag, lap_type=self.lap_type)
+
     def to_banded(self, max_half_bw: int = 16) -> 'LaplacianOp | None':
         """Convert to the block-banded dense MXU format (mesh-like graphs
         whose RCM bandwidth fits ``max_half_bw`` 128-tiles); None if the

@@ -223,6 +223,9 @@ def spmm(mat, x: jax.Array) -> jax.Array:
         return ell_spmm(mat, x)
     if isinstance(mat, BandedMatrix):
         return banded_spmm(mat, x)
+    if type(mat).__name__ == 'ChunkedELLMatrix':
+        from pygsp_tpu.core import chunked  # local: chunked imports sparse
+        return chunked.chunked_spmm(mat, x)
     x = jnp.asarray(x)      # numpy would raise on the sentinel indices
     gathered = x[mat.cols]  # out-of-range padding cols clamp (jnp semantics)
     if x.ndim == 1:

@@ -70,6 +70,9 @@ def cheby_op(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
     nf, m1 = c.shape
     if m1 < 2:
         raise ValueError('Chebyshev coefficients need order >= 1')
+    from pygsp_tpu.core.chunked import ChunkedELLMatrix
+    if isinstance(L.offdiag, ChunkedELLMatrix):
+        return _cheby_op_chunked(L, lmax, c, x)
     lmax = jnp.asarray(lmax, dtype=x.dtype)
     a1 = lmax / 2
     a2 = lmax / 2
@@ -95,6 +98,56 @@ def cheby_op(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
 
     (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc), c[:, 2:].T)
     return acc
+
+
+def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
+    """:func:`cheby_op` for a chunked off-diagonal (``core.chunked``).
+
+    Same arithmetic; the recurrence state is carried as a TUPLE of
+    per-chunk buffers so every slot gather's operand stays below the
+    VMEM gather cliff (separate scan-carry buffers gather at ~2.1-2.7
+    ns/row where slices of one (N, S) buffer pay ~11 — measured in
+    benchmarks/gather_probe3.py).
+    """
+    from pygsp_tpu.core import chunked as ck
+
+    nf, m1 = c.shape
+    lmax = jnp.asarray(lmax, dtype=x.dtype)
+    a1 = lmax / 2
+    a2 = lmax / 2
+    bshape = (nf,) + (1,) * x.ndim
+    R = L.offdiag.chunk_rows
+    dshape = (-1,) + (1,) * (x.ndim - 1)
+
+    def lap_chunks(diag_chunks, mat, xc):
+        yc = ck.chunked_spmm_chunks(mat, xc)
+        return tuple(d * xk + yk
+                     for d, xk, yk in zip(diag_chunks, xc, yc))
+
+    diag_c = ck.chunk_signal(L.diag.reshape(dshape), R)
+    xc = ck.chunk_signal(x, R)
+    t_old = xc
+    t_cur = tuple((lk - a2 * xk) / a1
+                  for lk, xk in zip(lap_chunks(diag_c, L.offdiag, xc), xc))
+    acc = tuple(0.5 * c[:, 0].reshape(bshape) * to[None]
+                + c[:, 1].reshape(bshape) * tc[None]
+                for to, tc in zip(t_old, t_cur))
+
+    if m1 > 2:
+        factor = L.shifted(2.0 / a1, a2)
+        fdiag_c = ck.chunk_signal(factor.diag.reshape(dshape), R)
+        fmat = factor.offdiag
+
+        def step(carry, ckk):
+            t_old, t_cur, acc = carry
+            lc = lap_chunks(fdiag_c, fmat, t_cur)
+            t_new = tuple(l - o for l, o in zip(lc, t_old))
+            acc = tuple(a + ckk.reshape(bshape) * t[None]
+                        for a, t in zip(acc, t_new))
+            return (t_cur, t_new, acc), None
+
+        (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc), c[:, 2:].T)
+    return acc[0] if len(acc) == 1 else jnp.concatenate(acc, axis=1)
 
 
 def cheby_op_intermediates(L: LaplacianOp, lmax, c, x: jax.Array):

@@ -111,6 +111,10 @@ def laplacian_upper_bound(L: LaplacianOp):
             absrow = absrow.at[lvl.rows].add(
                 jnp.sum(jnp.abs(lvl.vals), axis=1), mode='drop',
                 unique_indices=True)
+    elif type(off).__name__ == 'ChunkedELLMatrix':
+        from pygsp_tpu.core import chunked as _ck
+        absrow = _ck.chunked_spmm(off.abs_vals(),
+                                  jnp.ones((off.n_cols,), off.dtype))
     elif isinstance(off, _sp.BandedMatrix):
         absrow = jnp.sum(jnp.abs(off.tiles), axis=(1, 3)).reshape(-1)[:off.n_rows]
     else:
