@@ -95,7 +95,8 @@ class ChunkLevel:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=['blocks', 'levels', 'level_rows', 'rowptr'],
+         data_fields=['blocks', 'levels', 'level_rows', 'rowptr',
+                      'perm', 'iperm'],
          meta_fields=['block_keys', 'n_rows', 'n_cols', 'nnz', 'chunk_rows'])
 @dataclasses.dataclass(frozen=True)
 class ChunkedELLMatrix:
@@ -106,7 +107,16 @@ class ChunkedELLMatrix:
     the merged overflow tiers; ``level_rows`` holds the GLOBAL output
     row of every level slot-row, concatenated in level order (one
     scatter-add folds all overflow). ``rowptr`` holds true global row
-    degrees (CSR pointer) for degree queries.
+    degrees (CSR pointer, ORIGINAL row order) for degree queries.
+
+    ``perm``/``iperm`` (optional): degree-sort relabeling. The stored
+    blocks hold ``A' = A[perm][:, perm]`` (descending-degree order), so
+    row degrees are homogeneous WITHIN each chunk — slot padding stays
+    near 1 on power-law graphs and hub overflow concentrates in the
+    first chunk's levels. ``perm[i]`` is the original id of sorted row
+    ``i``; ``iperm`` is its inverse. The ``A @ x`` contract is in
+    ORIGINAL order: :func:`chunked_spmm` permutes on entry/exit, and
+    iterative drivers (Chebyshev) hoist both permutes outside the loop.
     """
 
     blocks: tuple
@@ -118,6 +128,8 @@ class ChunkedELLMatrix:
     n_cols: int
     nnz: int
     chunk_rows: int
+    perm: jax.Array | None = None
+    iperm: jax.Array | None = None
 
     @property
     def shape(self):
@@ -227,16 +239,30 @@ def chunked_spmm_chunks(mat: ChunkedELLMatrix, x_chunks) -> tuple:
     return tuple(y)
 
 
+def permute_in(mat: ChunkedELLMatrix, x: jax.Array, axis: int = 0):
+    """Original-order signal → the matrix's internal (sorted) order."""
+    if mat.perm is None:
+        return x
+    return jnp.take(x, mat.perm, axis=axis)
+
+
+def permute_out(mat: ChunkedELLMatrix, y: jax.Array, axis: int = 0):
+    """Internal (sorted) order → original vertex order."""
+    if mat.perm is None:
+        return y
+    return jnp.take(y, mat.iperm, axis=axis)
+
+
 def chunked_spmm(mat: ChunkedELLMatrix, x: jax.Array) -> jax.Array:
     """``y = A @ x`` with full-array input/output (generic fallback path).
 
     Entry gathers read from slices of ``x`` (which XLA materialises as
     chunk buffers); hot loops use :func:`chunked_spmm_chunks` with a
-    carried tuple.
+    carried tuple and hoist the degree-sort permutes outside the loop.
     """
-    x = jnp.asarray(x)
+    x = permute_in(mat, jnp.asarray(x))
     xc = chunk_signal(x, mat.chunk_rows)
-    return unchunk_signal(chunked_spmm_chunks(mat, xc))
+    return permute_out(mat, unchunk_signal(chunked_spmm_chunks(mat, xc)))
 
 
 # ---------------------------------------------------------------------------
@@ -280,12 +306,24 @@ def chunked_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
                           level_factor: int = 4,
                           min_level_width: int = 2,
                           max_tiers: int = 4,
+                          permute: str | None = None,
                           dtype=None) -> ChunkedELLMatrix:
     """Build a :class:`ChunkedELLMatrix` from host COO (deduped edges).
 
     All packing is vectorised NumPy (CSR-range gathers, no edge-wide
     masks); device upload is ONE pytree transfer at the end (per-leaf
     pushes pay a host->device round trip each over the axon tunnel).
+
+    ``permute='degree'`` relabels vertices in descending-degree order
+    before packing (square matrices only); the ``A @ x`` contract keeps
+    ORIGINAL vertex order (see :class:`ChunkedELLMatrix`). Off by
+    default: on the bench BA graph it does NOT reduce slot padding —
+    per-(row, src-chunk) counts are ~Poisson(avg_deg/n_chunks), and
+    reordering rows cannot reduce that variance (measured pad 2.19
+    sorted vs 2.07 unsorted, with the hub chunk deepening overflow
+    tiers and the entry/exit permutes costing ~11 ms each at N=1M —
+    ``benchmarks/degree_sort_probe.py``). Kept for degree distributions
+    where per-chunk counts DO track total degree.
     """
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
@@ -301,6 +339,23 @@ def chunked_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
         n_rows, np.int64)
     rowptr = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(deg, out=rowptr[1:])
+
+    perm = iperm = None
+    if permute == 'degree' and n_rows == n_cols and n_rows > 0:
+        # stable sort keeps original order inside equal-degree runs, so
+        # deterministic builds stay byte-reproducible
+        perm = np.argsort(-deg, kind='stable')
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(n_rows, dtype=perm.dtype)
+        rows = iperm[rows]
+        cols = iperm[cols]
+    elif permute not in (None, 'degree'):
+        raise ValueError(f'Unknown permute mode {permute!r}')
+
+    # the packer needs row-grouped edges (block-local CSR ranges); the
+    # degree relabel above — or an arbitrary caller — breaks that
+    o = np.lexsort((cols, rows))
+    rows, cols, vals = rows[o], cols[o], vals[o]
 
     # sort edges by (src_chunk, out_chunk), stable to preserve row order;
     # src-major so each source chunk's levels merge over adjacent blocks
@@ -398,11 +453,13 @@ def chunked_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
         blocks=tuple(blocks), levels=tuple(levels), level_rows=level_rows,
         rowptr=rowptr.astype(np.int32), block_keys=tuple(block_keys),
         n_rows=int(n_rows), n_cols=int(n_cols), nnz=int(rows.size),
-        chunk_rows=R)
+        chunk_rows=R,
+        perm=None if perm is None else perm.astype(np.int32),
+        iperm=None if iperm is None else iperm.astype(np.int32))
     return jax.device_put(host)
 
 
-def chunked_from_scipy(mat, *, dtype=None,
+def chunked_from_scipy(mat, *, dtype=None, permute: str | None = None,
                        chunk_rows: int = CHUNK_ROWS) -> ChunkedELLMatrix:
     """scipy sparse → chunked multi-level ELL."""
     csr = mat.tocsr()
@@ -410,4 +467,5 @@ def chunked_from_scipy(mat, *, dtype=None,
     coo = csr.tocoo()
     return chunked_from_host_coo(coo.row, coo.col, coo.data,
                                  coo.shape[0], coo.shape[1],
-                                 chunk_rows=chunk_rows, dtype=dtype)
+                                 chunk_rows=chunk_rows, permute=permute,
+                                 dtype=dtype)

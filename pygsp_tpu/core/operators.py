@@ -72,7 +72,8 @@ class LaplacianOp:
         return LaplacianOp(offdiag=sp.to_ell(self.offdiag, width=width),
                            diag=self.diag, lap_type=self.lap_type)
 
-    def to_chunked(self, chunk_rows: int | None = None) -> 'LaplacianOp':
+    def to_chunked(self, chunk_rows: int | None = None,
+                   permute: str | None = None) -> 'LaplacianOp':
         """Convert the off-diagonal block to the chunked multi-level ELL
         format — the fast path for power-law graphs past the VMEM gather
         cliff (see ``core.chunked``). The Chebyshev scan then carries the
@@ -87,7 +88,7 @@ class LaplacianOp:
         return LaplacianOp(
             offdiag=chunked.chunked_from_host_coo(
                 rows, cols, vals, self.offdiag.n_rows,
-                self.offdiag.n_cols, **kw),
+                self.offdiag.n_cols, permute=permute, **kw),
             diag=self.diag, lap_type=self.lap_type)
 
     def to_banded(self, max_half_bw: int = 16) -> 'LaplacianOp | None':

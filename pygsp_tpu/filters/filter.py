@@ -165,13 +165,9 @@ class Filter:
                                            s[..., 0], order=order)
                 out = jnp.moveaxis(r, 0, -1)
             else:
-                parts = []
-                for i in range(self.Nf):
-                    gi = Filter(self.G, self._kernels[i])
-                    r = lanczos_mod.lanczos_op(self.G.L, gi.evaluate,
-                                               s[..., i], order=order)
-                    parts.append(r[0])
-                out = jnp.expand_dims(sum(parts), -1)
+                r = lanczos_mod.lanczos_synthesis_op(self.G.L, self.evaluate,
+                                                     s, order=order)
+                out = jnp.expand_dims(r, -1)
 
         else:
             raise ValueError(f'Unknown method {method}.')

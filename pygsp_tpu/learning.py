@@ -106,19 +106,17 @@ def classification_tikhonov_simplex(G, y, M, tau=0.1, maxit=500, tol=1e-8,
         lam = css[jnp.arange(v.shape[0]), rho - 1] / rho
         return jnp.maximum(v - lam[:, None], 0.0)
 
+    # whole FBS iteration runs device-side: a host convergence read per
+    # step costs a tunnel round trip each on a remote TPU
+    def cond(carry):
+        _, it, diff = carry
+        return jnp.logical_and(it < maxit, diff > tol)
+
     def body(carry):
-        x, it, diff = carry
+        x, it, _ = carry
         x_new = proj_simplex(x - step * grad(x))
         return x_new, it + 1, jnp.max(jnp.abs(x_new - x))
 
-    x = Y
-    it = 0
-    diff = jnp.inf
-    # host loop keeps shapes static; each step is one jit-able update
-    update = jax.jit(lambda x: proj_simplex(x - step * grad(x)))
-    while it < maxit and diff > tol:
-        x_new = update(x)
-        diff = float(jnp.max(jnp.abs(x_new - x)))
-        x = x_new
-        it += 1
+    x, _, _ = jax.lax.while_loop(
+        cond, body, (Y, jnp.asarray(0), jnp.asarray(jnp.inf, Y.dtype)))
     return x

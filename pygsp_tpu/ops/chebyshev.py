@@ -124,8 +124,11 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
         return tuple(d * xk + yk
                      for d, xk, yk in zip(diag_chunks, xc, yc))
 
-    diag_c = ck.chunk_signal(L.diag.reshape(dshape), R)
-    xc = ck.chunk_signal(x, R)
+    # degree-sort permutes are hoisted: ONE gather in, ONE gather out,
+    # with all K recurrence steps running in the matrix's sorted order
+    diag_c = ck.chunk_signal(
+        ck.permute_in(L.offdiag, L.diag).reshape(dshape), R)
+    xc = ck.chunk_signal(ck.permute_in(L.offdiag, x), R)
     t_old = xc
     t_cur = tuple((lk - a2 * xk) / a1
                   for lk, xk in zip(lap_chunks(diag_c, L.offdiag, xc), xc))
@@ -135,7 +138,8 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
 
     if m1 > 2:
         factor = L.shifted(2.0 / a1, a2)
-        fdiag_c = ck.chunk_signal(factor.diag.reshape(dshape), R)
+        fdiag_c = ck.chunk_signal(
+            ck.permute_in(factor.offdiag, factor.diag).reshape(dshape), R)
         fmat = factor.offdiag
 
         def step(carry, ckk):
@@ -147,7 +151,8 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
             return (t_cur, t_new, acc), None
 
         (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc), c[:, 2:].T)
-    return acc[0] if len(acc) == 1 else jnp.concatenate(acc, axis=1)
+    out = acc[0] if len(acc) == 1 else jnp.concatenate(acc, axis=1)
+    return ck.permute_out(L.offdiag, out, axis=1)
 
 
 def cheby_op_intermediates(L: LaplacianOp, lmax, c, x: jax.Array):

@@ -99,3 +99,29 @@ def lanczos_op(L: LaplacianOp, evaluate, x: jax.Array,
 
     out = jax.vmap(one_col, in_axes=1, out_axes=2)(xs)  # (Nf, N, S)
     return out[..., 0] if squeeze else out
+
+
+def lanczos_synthesis_op(L: LaplacianOp, evaluate, s: jax.Array,
+                         order: int = 30) -> jax.Array:
+    """Adjoint-style synthesis ``Σ_i g_i(L) s[..., i]`` in ONE batched
+    pass: the Krylov recursions for all (signal, filter) columns run
+    under a single ``vmap`` instead of a per-filter Python loop.
+
+    ``evaluate``: λ-array → (Nf, len(λ)) bank responses.
+    s: (N, S, Nf). Returns (N, S).
+    """
+    n, n_s, nf = s.shape
+    cols = s.reshape(n, n_s * nf)                   # filter-major flatten
+    fidx = jnp.tile(jnp.arange(nf), n_s)            # kernel id per column
+
+    def one_col(col, i):
+        V, H = _lanczos_single(L, col, order)
+        eh, uh = jnp.linalg.eigh(H)
+        eh = jnp.maximum(eh, 0.0)
+        fe = jnp.atleast_2d(evaluate(eh))[i]        # (order,)
+        VU = V @ uh
+        proj = VU.T @ col
+        return VU @ (fe * proj)                     # (N,)
+
+    out = jax.vmap(one_col, in_axes=(1, 0), out_axes=1)(cols, fidx)
+    return out.reshape(n, n_s, nf).sum(axis=2)

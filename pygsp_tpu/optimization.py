@@ -10,6 +10,7 @@ graph gradient/divergence kernels.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from pygsp_tpu import utils
 
@@ -38,19 +39,27 @@ def prox_tv(x, gamma, G, A=None, At=None, nu=1, tol=1e-4, maxit=200,
 
     step = 1.0 / (2.0 * G.lmax * nu)
 
-    p = jnp.zeros((G.n_edges,) + x.shape[1:], dtype=x.dtype)
-    obj_prev = jnp.inf
-    for it in range(maxit):
+    p0 = jnp.zeros((G.n_edges,) + x.shape[1:], dtype=x.dtype)
+
+    # whole dual ascent runs device-side (lax.while_loop): a host-synced
+    # convergence read per iteration costs a tunnel round trip each on a
+    # remote TPU, dwarfing the iteration itself
+    def cond(carry):
+        _, _, rel, it = carry
+        return jnp.logical_and(it < maxit, rel >= tol)
+
+    def body(carry):
+        p, obj_prev, _, it = carry
         z = x - At(D.div(p))
         grad_z = D.grad(A(z))
-        p = p + step * grad_z
         # project onto the ∞-ball of radius gamma (elementwise clamp)
-        p = jnp.clip(p, -gamma, gamma)
-
+        p = jnp.clip(p + step * grad_z, -gamma, gamma)
         obj = 0.5 * jnp.sum((x - z) ** 2) + gamma * jnp.sum(jnp.abs(grad_z))
         rel = jnp.abs(obj - obj_prev) / jnp.maximum(jnp.abs(obj), 1e-30)
-        if float(rel) < tol:
-            break
-        obj_prev = obj
+        return p, obj, rel, it + 1
+
+    p, _, _, _ = lax.while_loop(
+        cond, body, (p0, jnp.asarray(jnp.inf, x.dtype),
+                     jnp.asarray(jnp.inf, x.dtype), jnp.asarray(0)))
 
     return x - At(D.div(p))

@@ -100,6 +100,40 @@ def test_chunked_hub_block_levels():
                                rtol=1e-10, atol=1e-10)
 
 
+def test_degree_permute_parity():
+    """Degree-sorted internal storage must be invisible at the A @ x
+    contract: same results as the unpermuted build, and the Chebyshev
+    driver (hoisted permutes) agrees with plain cheby_op."""
+    rng = np.random.default_rng(17)
+    W = _random_powerlaw(400, rng)
+    m_p = ck.chunked_from_scipy(W, chunk_rows=96, permute='degree')
+    m_n = ck.chunked_from_scipy(W, chunk_rows=96, permute=None)
+    assert m_p.perm is not None and m_n.perm is None
+    # perm is a true inverse pair and descending-degree
+    perm = np.asarray(m_p.perm)
+    iperm = np.asarray(m_p.iperm)
+    np.testing.assert_array_equal(perm[iperm], np.arange(400))
+    deg = np.diff(np.asarray(m_p.rowptr))
+    assert (np.diff(deg[perm]) <= 0).all()
+    x = rng.normal(size=(400, 3))
+    np.testing.assert_allclose(np.asarray(m_p @ jnp.asarray(x)),
+                               np.asarray(m_n @ jnp.asarray(x)),
+                               rtol=1e-10, atol=1e-10)
+    # full Chebyshev parity through the hoisted-permute driver
+    Wm = sp.from_scipy(W)
+    L = laplacian_op(Wm, 'combinatorial')
+    Lc = L.to_chunked(chunk_rows=96, permute='degree')
+    assert Lc.offdiag.perm is not None
+    lmax = 1.02 * float(abs(sps.linalg.eigsh(
+        L.to_scipy(), k=1, return_eigenvectors=False)[0]))
+    c = cheby.cheby_coeff(lambda lam: jnp.exp(-lam[None, :] / lmax), lmax,
+                          m=18)
+    np.testing.assert_allclose(
+        np.asarray(cheby.cheby_op(Lc, lmax, c, jnp.asarray(x))),
+        np.asarray(cheby.cheby_op(L, lmax, c, jnp.asarray(x))),
+        rtol=1e-9, atol=1e-9)
+
+
 def test_chunked_scale_and_astype():
     rng = np.random.default_rng(13)
     W = _random_powerlaw(150, rng)
