@@ -177,6 +177,9 @@ class ChunkedELLMatrix:
             levels=tuple(dataclasses.replace(l, vals=jnp.abs(l.vals))
                          for l in self.levels))
 
+    def spmm_chunks(self, x_chunks) -> tuple:
+        return chunked_spmm_chunks(self, x_chunks)
+
     def __matmul__(self, x):
         return chunked_spmm(self, x)
 

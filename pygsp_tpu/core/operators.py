@@ -91,6 +91,31 @@ class LaplacianOp:
                 self.offdiag.n_cols, permute=permute, **kw),
             diag=self.diag, lap_type=self.lap_type)
 
+    def to_windowed(self, chunk_rows: int | None = None,
+                    window_rows: int | None = None,
+                    slab_width: int | None = None) -> 'LaplacianOp':
+        """Convert the off-diagonal block to the windowed-compact ELL
+        format — the fastest power-law path (see ``core.windowed``):
+        exact-packed slots folded to rows by a one-hot MXU contraction,
+        ~1.1x slot padding vs ~2.1x for the per-row-aligned chunked
+        format at the same sub-cliff gather speed."""
+        from pygsp_tpu.core import windowed
+        if isinstance(self.offdiag, windowed.WindowedELLMatrix):
+            return self
+        rows = np.asarray(self.offdiag.rows)[:self.offdiag.nnz]
+        cols = np.asarray(self.offdiag.cols)[:self.offdiag.nnz]
+        vals = np.asarray(self.offdiag.vals)[:self.offdiag.nnz]
+        kw = {}
+        if chunk_rows is not None:
+            kw['chunk_rows'] = chunk_rows
+        if window_rows is not None:
+            kw['window_rows'] = window_rows
+        return LaplacianOp(
+            offdiag=windowed.windowed_from_host_coo(
+                rows, cols, vals, self.offdiag.n_rows,
+                self.offdiag.n_cols, slab_width=slab_width, **kw),
+            diag=self.diag, lap_type=self.lap_type)
+
     def to_banded(self, max_half_bw: int = 16) -> 'LaplacianOp | None':
         """Convert to the block-banded dense MXU format (mesh-like graphs
         whose RCM bandwidth fits ``max_half_bw`` 128-tiles); None if the

@@ -226,6 +226,9 @@ def spmm(mat, x: jax.Array) -> jax.Array:
     if type(mat).__name__ == 'ChunkedELLMatrix':
         from pygsp_tpu.core import chunked  # local: chunked imports sparse
         return chunked.chunked_spmm(mat, x)
+    if type(mat).__name__ == 'WindowedELLMatrix':
+        from pygsp_tpu.core import windowed
+        return windowed.windowed_spmm(mat, x)
     x = jnp.asarray(x)      # numpy would raise on the sentinel indices
     gathered = x[mat.cols]  # out-of-range padding cols clamp (jnp semantics)
     if x.ndim == 1:

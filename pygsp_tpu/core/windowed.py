@@ -1,0 +1,480 @@
+"""Windowed-compact ELL — slot-exact SpMM storage folded on the MXU.
+
+The successor to :mod:`pygsp_tpu.core.chunked` for power-law graphs. Both
+formats exist because XLA row-gathers hit a cliff above ~2^16-row
+operands, so the source axis is split into chunks and the signal carried
+as a tuple of per-chunk buffers. What this format changes is the SLOT
+LAYOUT: the block format aligns slots per output row (ELL), which on a
+power-law graph wastes ~2x the slots — per-(row, src-chunk) edge counts
+are ~Poisson(1), so aligned rows are half padding and reordering cannot
+fix it (``benchmarks/degree_sort_probe.py``). Here slots are
+EXACT-PACKED per (P-row output window, src chunk) and each slot carries
+its own window-local row id; the fold from slots to rows is a one-hot
+contraction over the window axis — a few hundred GFLOP on the MXU,
+measured to FUSE with the slot gather and run at the gather's own speed
+(``benchmarks/windowed_compact_probe.py``: 3.5-3.7 ns/slot at
+``Precision.HIGHEST`` with 1.5e-7 error, vs 2.9 for a fold-free gather
+of the same slot count; single-pass default precision is the same speed
+but rounds through bf16 at ~2e-3 — hence HIGHEST, whose extra MXU
+passes are free at these shapes).
+
+Padding then moves from per-row variance (Poisson(1), ~2.07x) to
+per-window variance (Poisson(P), ~1.1x) with two safety valves:
+
+- **borrowed slack**: slot row ids live in [0, 2P): a window's overflow
+  can occupy the free tail of the PREVIOUS window's slab, addressing
+  forward into the next window's rows. The fold output ``(NW, 2P, S)``
+  splits into the main part plus a P-row-shifted add — no scatter.
+- **residue levels**: whatever still spills (hub rows, deep Poisson
+  tail) reuses the chunked format's merged level tiers: per-row slot
+  blocks per (src chunk, tier), folded with ONE global scatter-add.
+
+Same contract as every sparse backend here: ``y = A @ x``, the
+reference's ``G.L.dot(signal)`` (``pygsp/filters/approximations.py:99``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from pygsp_tpu.core.chunked import (CHUNK_ROWS, ChunkLevel, chunk_signal,
+                                    unchunk_signal)
+from pygsp_tpu.core.sparse import _slot_block_sum
+
+# Output rows per window. 2P = 128 keeps the fold's one-hot dim on full
+# MXU lanes (measured as fast as the 32-wide variant) and row ids in
+# uint8.
+WINDOW_ROWS = 64
+
+# MXU precision of the one-hot fold. HIGHEST emulates true f32 through
+# extra bf16 passes (1.5e-7 parity); DEFAULT is one pass (~2e-3 error).
+# Measured identical speed at these shapes — the knob exists for probes.
+FOLD_PRECISION = lax.Precision.HIGHEST
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=['cols', 'vals', 'rowid', 'levels', 'level_rows',
+                      'rowptr', 'perm', 'iperm'],
+         meta_fields=['n_rows', 'n_cols', 'nnz', 'chunk_rows',
+                      'window_rows'])
+@dataclasses.dataclass(frozen=True)
+class WindowedELLMatrix:
+    """Windowed-compact sparse matrix (see module docstring).
+
+    ``cols``/``vals``/``rowid``: ``(n_out, n_src, NW, L)`` slot slabs —
+    ``cols`` local to the source chunk (sentinel ``== chunk_rows``:
+    clamped gather, zero value), ``rowid`` in ``[0, 2P)`` (uint8) giving
+    the output row RELATIVE to the slab's window base (values >= P
+    address the next window — borrowed slack). ``levels``/
+    ``level_rows``: residue tiers exactly as in
+    :class:`~pygsp_tpu.core.chunked.ChunkedELLMatrix`. ``rowptr``: true
+    global CSR pointer for degree queries.
+    """
+
+    cols: jax.Array
+    vals: jax.Array
+    rowid: jax.Array
+    levels: tuple
+    level_rows: jax.Array
+    rowptr: jax.Array
+    n_rows: int
+    n_cols: int
+    nnz: int
+    chunk_rows: int
+    window_rows: int
+    # ``perm``/``iperm``: optional vertex relabeling (see the builder's
+    # ``permute='shuffle'``). Contract stays ORIGINAL order — the SpMM
+    # permutes on entry/exit and iterative drivers hoist both permutes
+    # outside their recurrence (same protocol as the chunked format).
+    perm: jax.Array | None = None
+    iperm: jax.Array | None = None
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def n_slots(self) -> int:
+        return int(np.prod(self.cols.shape))
+
+    @property
+    def n_out_chunks(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def n_src_chunks(self) -> int:
+        return self.cols.shape[1]
+
+    def out_chunk_size(self, i: int) -> int:
+        return min(self.chunk_rows, self.n_rows - i * self.chunk_rows)
+
+    def src_chunk_size(self, c: int) -> int:
+        return min(self.chunk_rows, self.n_cols - c * self.chunk_rows)
+
+    def astype(self, dtype) -> 'WindowedELLMatrix':
+        return dataclasses.replace(
+            self, vals=self.vals.astype(dtype),
+            levels=tuple(dataclasses.replace(l, vals=l.vals.astype(dtype))
+                         for l in self.levels))
+
+    def scale_vals(self, scale) -> 'WindowedELLMatrix':
+        return dataclasses.replace(
+            self, vals=self.vals * scale,
+            levels=tuple(dataclasses.replace(l, vals=l.vals * scale)
+                         for l in self.levels))
+
+    def abs_vals(self) -> 'WindowedELLMatrix':
+        return dataclasses.replace(
+            self, vals=jnp.abs(self.vals),
+            levels=tuple(dataclasses.replace(l, vals=jnp.abs(l.vals))
+                         for l in self.levels))
+
+    def spmm_chunks(self, x_chunks) -> tuple:
+        return windowed_spmm_chunks(self, x_chunks)
+
+    def __matmul__(self, x):
+        return windowed_spmm(self, x)
+
+
+# ---------------------------------------------------------------------------
+# SpMM
+# ---------------------------------------------------------------------------
+
+def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks) -> tuple:
+    """``y_chunks = A @ x_chunks`` with tuple-of-chunk input and output.
+
+    One ``lax.scan`` over output chunks; the body gathers every source
+    chunk's slab, folds slots to window rows with the one-hot MXU
+    contraction, and overlap-adds the borrowed half. Levels fold with
+    one global scatter afterwards (outside the scan).
+    """
+    R = mat.chunk_rows
+    P = mat.window_rows
+    n_out, n_src, NW, L = mat.cols.shape
+    xt = tuple(jnp.asarray(xk) for xk in x_chunks)
+    trailing = xt[0].shape[1:]
+    x2 = tuple(xk.reshape(xk.shape[0], -1) for xk in xt)   # (rows, S)
+    S = x2[0].shape[1]
+    dt = x2[0].dtype
+    iota = jnp.arange(2 * P, dtype=jnp.int32)
+
+    with jax.named_scope('spmm_windowed'):
+        def body(carry, slab):
+            co, va, ri = slab                       # (n_src, NW, L) each
+            t = None
+            for c in range(n_src):
+                p = va[c][..., None] * x2[c][co[c]]          # (NW, L, S)
+                oh = (ri[c].astype(jnp.int32)[..., None]
+                      == iota).astype(dt)                    # (NW, L, 2P)
+                u = jnp.einsum('wlp,wls->wps', oh, p,
+                               precision=FOLD_PRECISION,
+                               preferred_element_type=dt)
+                t = u if t is None else t + u
+            a = t[:, :P, :].reshape(NW * P, S)
+            b = t[:, P:, :].reshape(NW * P, S)
+            y = a.at[P:].add(b[:-P]) if NW > 1 else a
+            return carry, y
+
+        _, ys = lax.scan(body, 0,
+                         (mat.cols, mat.vals, mat.rowid))   # (n_out, R', S)
+        yf = ys.reshape(n_out * NW * P, S)
+
+        if mat.levels:
+            # NW*P == R exactly (validated at build), so global row ids
+            # index the chunk-stacked output directly (only the final
+            # chunk is padded, past every real row)
+            ps = jnp.concatenate(
+                [_slot_block_sum(lev.cols, lev.vals, x2[lev.src_chunk])
+                 for lev in mat.levels])
+            yf = yf.at[mat.level_rows].add(ps, mode='drop')
+
+    return tuple(yf[i * R:i * R + mat.out_chunk_size(i)]
+                 .reshape((mat.out_chunk_size(i),) + trailing)
+                 for i in range(n_out))
+
+
+def windowed_spmm(mat: WindowedELLMatrix, x: jax.Array) -> jax.Array:
+    """``y = A @ x`` with full-array input/output (fallback path).
+
+    Hot loops use :func:`windowed_spmm_chunks` with a carried chunk
+    tuple and hoist the shuffle permutes outside the recurrence (the
+    shared ``chunked.permute_in/out`` helpers read ``mat.perm``).
+    """
+    from pygsp_tpu.core.chunked import permute_in, permute_out
+    x = permute_in(mat, jnp.asarray(x))
+    xc = chunk_signal(x, mat.chunk_rows)
+    return permute_out(mat, unchunk_signal(windowed_spmm_chunks(mat, xc)))
+
+
+# ---------------------------------------------------------------------------
+# Builder (host-side, vectorised)
+# ---------------------------------------------------------------------------
+
+# Measured per-op costs (ns) on this chip, for the slab-width choice
+# (benchmarks/windowed_compact_probe.py, gather_probe2.py).
+_GATHER_NS = 3.6
+_SCATTER_NS = 25.0
+_WIDE_TIER = 8             # residue tier widths are {1, _WIDE_TIER}
+
+
+def _choose_slab_width(counts: np.ndarray, window_rows: int,
+                       L_cap: int = 512) -> int:
+    """Pick L minimising slots*gather + residue level cost.
+
+    ``counts``: per-(out,src,window) slot demands with the window axis
+    LAST (so ``counts[..., :-1]`` is each window's predecessor within
+    the same block). Residues route to {1, 8}-wide level tiers plus a
+    per-row scatter, so a residue edge costs ~an order of magnitude
+    more than a slab slot — the model must reflect that or it starves
+    the slabs (first measured attempt picked L *below* the window mean
+    and spent half the SpMM in levels).
+    """
+    lam = counts.mean() if counts.size else 0.0
+    best_L, best_cost = 8, np.inf
+    for L in range(8, min(L_cap, max(16, int(2 * lam + 96))) + 1, 8):
+        o = np.maximum(counts - L, 0)
+        slack = np.maximum(L - counts, 0)
+        b = np.minimum(o[..., 1:], slack[..., :-1])
+        residue = o.astype(np.float64)
+        residue[..., 1:] -= b
+        res_edges = float(residue.sum())
+        # residue rows <= min(residue, window rows); most carry 1 edge
+        res_rows = float(np.minimum(residue, window_rows).sum())
+        lvl_slots = res_rows + max(res_edges - res_rows, 0.0) * 1.6
+        cost = (counts.size * L * _GATHER_NS
+                + lvl_slots * _GATHER_NS
+                + res_rows * 1.3 * _SCATTER_NS)
+        if cost < best_cost:
+            best_L, best_cost = L, cost
+    return best_L
+
+
+def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
+                           chunk_rows: int = CHUNK_ROWS,
+                           window_rows: int = WINDOW_ROWS,
+                           slab_width: int | None = None,
+                           hub_degree: int | None = None,
+                           permute: str | None = 'shuffle',
+                           dtype=None) -> WindowedELLMatrix:
+    """Build a :class:`WindowedELLMatrix` from host COO (deduped edges).
+
+    All packing is vectorised NumPy; device upload is ONE pytree
+    transfer at the end.
+
+    ``hub_degree``: rows at least this dense bypass the windows and go
+    straight to the level tiers (their per-block counts would dominate
+    whole windows, skewing the slab-width choice and overflowing
+    whatever L is picked; as compact per-row tiers they pack near 1x).
+    Default: ``4 * sqrt(window λ) * n_src`` — rows whose per-block
+    count exceeds 4 sigma of the window distribution.
+
+    ``permute='shuffle'`` (default, square matrices only) relabels
+    vertices by a seeded random permutation before packing. Generator
+    vertex ids usually correlate with degree (a Barabási–Albert graph
+    numbers its hubs first), so windows of CONSECUTIVE ids inherit the
+    degree distribution's skew — measured pad 1.9 on the bench graph
+    even with the width chosen 1.4x above the mean. Mixing ids makes
+    every window an iid degree sample, concentrating window sums at
+    sigma ~= sqrt(P*Var(deg))/n_src. The ``A @ x`` contract keeps
+    ORIGINAL vertex order (entry/exit permutes, hoisted by iterative
+    drivers).
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals)
+    if dtype is not None:
+        vals = vals.astype(dtype)
+    if not np.issubdtype(vals.dtype, np.floating):
+        vals = vals.astype(np.float64)
+    R = int(chunk_rows)
+    P = int(window_rows)
+    if R % P:
+        raise ValueError(f'chunk_rows ({R}) must be a multiple of '
+                         f'window_rows ({P})')
+    if 2 * P > 256:
+        raise ValueError('window_rows > 128 overflows the uint8 row ids')
+    NW = R // P
+    n_out = max(-(-n_rows // R), 1)
+    n_src = max(-(-n_cols // R), 1)
+
+    deg = np.bincount(rows, minlength=n_rows) if rows.size else np.zeros(
+        n_rows, np.int64)
+    rowptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(deg, out=rowptr[1:])
+
+    if hub_degree is None:
+        lam_w = P * (rows.size / max(n_rows, 1)) / n_src
+        hub_degree = max(2 * P, int(4.0 * np.sqrt(max(lam_w, 1.0)) * n_src))
+    is_hub_edge = deg[rows] >= hub_degree
+
+    perm = iperm = None
+    if permute == 'shuffle' and n_rows == n_cols and n_rows > 0:
+        perm = np.random.default_rng(0x5EED).permutation(n_rows)
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(n_rows, dtype=perm.dtype)
+        rows = iperm[rows]
+        cols = iperm[cols]
+    elif permute not in (None, 'shuffle'):
+        raise ValueError(f'Unknown permute mode {permute!r}')
+
+    # slab id per edge: (out chunk, src chunk, window-in-chunk)
+    i_e = rows // R
+    c_e = cols // R
+    w_e = (rows % R) // P
+    slab_e = (i_e * n_src + c_e) * NW + w_e
+    n_slabs = n_out * n_src * NW
+
+    order = np.argsort(slab_e, kind='stable')
+    rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
+    slab_s = slab_e[order]
+    hub_s = is_hub_edge[order]
+
+    counts = np.bincount(slab_s[~hub_s], minlength=n_slabs)
+    if slab_width is None:
+        L = _choose_slab_width(
+            counts.reshape(n_out * n_src, NW).astype(np.float64), P)
+    else:
+        L = int(slab_width)
+
+    # window packing runs over NON-hub edges only
+    nh = ~hub_s
+    rows_w, cols_w, vals_w, slab_w = (rows_s[nh], cols_s[nh], vals_s[nh],
+                                      slab_s[nh])
+    run_start = np.zeros(n_slabs + 1, np.int64)
+    np.cumsum(counts, out=run_start[1:])
+    pos = np.arange(rows_w.size, dtype=np.int64) - run_start[slab_w]
+
+    # borrow: window w's overflow may occupy the free tail of slab w-1
+    # of the SAME (out, src) block. slack_{w-1} = L - min(c_{w-1}, L);
+    # b_w = min(overflow_w, slack_{w-1}) — closed form, no recursion.
+    c2 = counts.reshape(n_out * n_src, NW)
+    used = np.minimum(c2, L)
+    slack = L - used
+    overflow = c2 - used
+    borrow = np.zeros_like(c2)
+    borrow[:, 1:] = np.minimum(overflow[:, 1:], slack[:, :-1])
+    borrow_f = borrow.ravel()
+
+    in_main = pos < L
+    in_borrow = ~in_main & (pos < L + borrow_f[slab_w])
+    in_residue = ~in_main & ~in_borrow
+
+    # destination slab + slot per edge
+    dest_slab = np.where(in_borrow, slab_w - 1, slab_w)
+    dest_slot = np.where(in_borrow,
+                         np.minimum(counts[np.maximum(slab_w - 1, 0)], L)
+                         + (pos - L), pos)
+    rel_row = (rows_w % P) + np.where(in_borrow, P, 0)
+
+    keep = ~in_residue
+    flat = dest_slab[keep] * L + dest_slot[keep]
+    slab_cols = np.full(n_slabs * L, R, np.int32)
+    slab_vals = np.zeros(n_slabs * L, vals.dtype)
+    slab_rowid = np.full(n_slabs * L, 2 * P - 1, np.uint8)
+    slab_cols[flat] = (cols_w[keep] % R).astype(np.int32)
+    slab_vals[flat] = vals_w[keep]
+    slab_rowid[flat] = rel_row[keep].astype(np.uint8)
+
+    shape4 = (n_out, n_src, NW, L)
+    # residue (window spill + hub rows) -> {1, 8}-wide level tiers per
+    # src chunk, wide rows split over repeated tier entries
+    res_rows = np.concatenate([rows_w[in_residue], rows_s[hub_s]])
+    res_cols = np.concatenate([cols_w[in_residue], cols_s[hub_s]])
+    res_vals = np.concatenate([vals_w[in_residue], vals_s[hub_s]])
+    levels, level_rows = _pack_residue_levels(
+        res_rows, res_cols, res_vals, res_cols // R, R, vals.dtype)
+
+    host = WindowedELLMatrix(
+        cols=slab_cols.reshape(shape4), vals=slab_vals.reshape(shape4),
+        rowid=slab_rowid.reshape(shape4), levels=levels,
+        level_rows=level_rows, rowptr=rowptr.astype(np.int32),
+        n_rows=int(n_rows), n_cols=int(n_cols), nnz=int(rows.size),
+        chunk_rows=R, window_rows=P,
+        perm=None if perm is None else perm.astype(np.int32),
+        iperm=None if iperm is None else iperm.astype(np.int32))
+    return jax.device_put(host)
+
+
+def _pack_residue_levels(rrows, rcols, rvals, rchunk, R, vdtype):
+    """Residue edges -> TWO slot tiers per src chunk (widths 1 and
+    ``_WIDE_TIER``), in the chunked format's level layout: one global
+    scatter-add folds every tier. Rows wider than a tier entry repeat
+    across entries (the scatter sums duplicates), so tier widths — and
+    with them per-op compile cost — stay bounded no matter how dense a
+    hub row is."""
+    if rrows.size == 0:
+        return (), np.zeros(0, np.int32)
+    o = np.lexsort((rrows, rchunk))
+    rrows, rcols, rvals, rchunk = (rrows[o], rcols[o], rvals[o], rchunk[o])
+    W = _WIDE_TIER
+
+    levels = []
+    level_rows_parts = []
+    for c in np.unique(rchunk):
+        m = rchunk == c
+        crows, ccols, cvals = rrows[m], rcols[m] % R, rvals[m]
+        urows, ucounts = np.unique(crows, return_counts=True)
+        ustarts = np.zeros(urows.size, np.int64)
+        np.cumsum(ucounts[:-1], out=ustarts[1:])
+
+        # width-1 tier: every residue row's first edge
+        levels.append(ChunkLevel(
+            cols=ccols[ustarts].astype(np.int32)[:, None],
+            vals=cvals[ustarts].astype(vdtype)[:, None],
+            src_chunk=int(c)))
+        level_rows_parts.append(urows)
+
+        # width-W tier: remaining edges, ceil((r-1)/W) entries per row
+        rem = ucounts - 1
+        n_ent = -(-rem // W)
+        wide = np.flatnonzero(n_ent > 0)
+        if wide.size:
+            tot = int(n_ent[wide].sum())
+            ent_row = np.repeat(wide, n_ent[wide])
+            ent_start = np.zeros(wide.size + 1, np.int64)
+            np.cumsum(n_ent[wide], out=ent_start[1:])
+            k = np.arange(tot, dtype=np.int64) - np.repeat(
+                ent_start[:-1], n_ent[wide])
+            st = ustarts[ent_row] + 1 + k * W
+            en = ustarts[ent_row] + ucounts[ent_row]
+            idx = st[:, None] + np.arange(W)[None, :]
+            valid = idx < en[:, None]
+            idx = np.minimum(idx, crows.size - 1)
+            # sentinel == chunk_rows like the slabs (clamped gather x0)
+            pc = np.where(valid, ccols[idx], R).astype(np.int32)
+            pv = np.where(valid, cvals[idx], 0).astype(vdtype)
+            levels.append(ChunkLevel(cols=pc, vals=pv, src_chunk=int(c)))
+            level_rows_parts.append(urows[ent_row])
+
+    level_rows = np.concatenate(level_rows_parts).astype(np.int32)
+    return tuple(levels), level_rows
+
+
+def windowed_from_scipy(mat, *, dtype=None,
+                        chunk_rows: int = CHUNK_ROWS,
+                        window_rows: int = WINDOW_ROWS,
+                        slab_width: int | None = None,
+                        hub_degree: int | None = None,
+                        permute: str | None = 'shuffle'
+                        ) -> WindowedELLMatrix:
+    """scipy sparse → windowed-compact ELL."""
+    csr = mat.tocsr()
+    csr.sum_duplicates()
+    coo = csr.tocoo()
+    return windowed_from_host_coo(coo.row, coo.col, coo.data,
+                                  coo.shape[0], coo.shape[1],
+                                  chunk_rows=chunk_rows,
+                                  window_rows=window_rows,
+                                  slab_width=slab_width,
+                                  hub_degree=hub_degree,
+                                  permute=permute, dtype=dtype)

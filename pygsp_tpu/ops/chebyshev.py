@@ -71,7 +71,8 @@ def cheby_op(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
     if m1 < 2:
         raise ValueError('Chebyshev coefficients need order >= 1')
     from pygsp_tpu.core.chunked import ChunkedELLMatrix
-    if isinstance(L.offdiag, ChunkedELLMatrix):
+    from pygsp_tpu.core.windowed import WindowedELLMatrix
+    if isinstance(L.offdiag, (ChunkedELLMatrix, WindowedELLMatrix)):
         return _cheby_op_chunked(L, lmax, c, x)
     lmax = jnp.asarray(lmax, dtype=x.dtype)
     a1 = lmax / 2
@@ -120,7 +121,7 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
     dshape = (-1,) + (1,) * (x.ndim - 1)
 
     def lap_chunks(diag_chunks, mat, xc):
-        yc = ck.chunked_spmm_chunks(mat, xc)
+        yc = mat.spmm_chunks(xc)
         return tuple(d * xk + yk
                      for d, xk, yk in zip(diag_chunks, xc, yc))
 

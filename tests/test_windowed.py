@@ -1,0 +1,154 @@
+"""Parity tests for the windowed-compact ELL format (core.windowed).
+
+Same contract as every sparse backend: exact ``A @ x`` / Chebyshev
+arithmetic (the reference's ``G.L.dot`` / ``cheby_op``,
+``pygsp/filters/approximations.py:58-114``) — only the slot layout and
+the MXU one-hot fold differ. The layout's safety valves (borrowed
+slack into the previous window's slab, residue level tiers for hub
+rows) must be exercised and invisible at the contract.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import jax.numpy as jnp
+
+from pygsp_tpu.core import sparse as sp
+from pygsp_tpu.core import windowed as wd
+from pygsp_tpu.core.operators import laplacian_op
+from pygsp_tpu.ops import chebyshev as cheby
+
+from test_chunked import _random_powerlaw
+
+
+@pytest.mark.parametrize('chunk_rows,window_rows',
+                         [(64, 16), (128, 64), (256, 32)])
+def test_windowed_spmm_matches_scipy(chunk_rows, window_rows):
+    rng = np.random.default_rng(3)
+    W = _random_powerlaw(500, rng)
+    mat = wd.windowed_from_scipy(W, chunk_rows=chunk_rows,
+                                 window_rows=window_rows)
+    assert mat.nnz == W.nnz
+    x = rng.normal(size=(500, 3))
+    got = np.asarray(mat @ jnp.asarray(x))
+    want = W @ x
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+    got1 = np.asarray(mat @ jnp.asarray(x[:, 0]))
+    np.testing.assert_allclose(got1, want[:, 0], rtol=1e-10, atol=1e-10)
+
+
+def test_windowed_edge_conservation():
+    """Every stored edge lands in exactly one of slab/levels: A @ 1
+    equals the row sums, and the slab + residue accounting matches nnz."""
+    rng = np.random.default_rng(11)
+    W = _random_powerlaw(700, rng)
+    mat = wd.windowed_from_scipy(W, chunk_rows=128, window_rows=32)
+    ones = jnp.ones((700,))
+    np.testing.assert_allclose(np.asarray(mat @ ones),
+                               np.ravel(W.sum(axis=1)),
+                               rtol=1e-10, atol=1e-10)
+    live_slab = int(np.count_nonzero(
+        np.asarray(mat.cols) < mat.chunk_rows))
+    live_levels = sum(int(np.count_nonzero(np.asarray(l.cols)
+                                           < mat.chunk_rows))
+                      for l in mat.levels)
+    assert live_slab + live_levels == W.nnz
+
+
+def test_windowed_borrow_and_levels_exercised():
+    """A slab width straddling the window mean forces both borrowing
+    (overflow into a neighbour's slack) and residue tiers."""
+    rng = np.random.default_rng(7)
+    W = _random_powerlaw(400, rng, avg_deg=10)
+    # window λ = P * avg_deg / n_src ≈ 80: some windows under, some over
+    mat = wd.windowed_from_scipy(W, chunk_rows=128, window_rows=32,
+                                 slab_width=80)
+    rowid = np.asarray(mat.rowid)
+    live = np.asarray(mat.cols) < mat.chunk_rows
+    assert (rowid[live] >= mat.window_rows).any(), 'no borrowed slots'
+    assert mat.levels, 'no residue tiers'
+    x = rng.normal(size=(400, 2))
+    np.testing.assert_allclose(np.asarray(mat @ jnp.asarray(x)),
+                               W @ x, rtol=1e-10, atol=1e-10)
+
+
+def test_windowed_hub_rows():
+    """Rows denser than any slab width route through levels correctly."""
+    rng = np.random.default_rng(9)
+    n = 300
+    W = _random_powerlaw(n, rng).tolil()
+    W[5, :] = rng.random(n)
+    W[:, 5] = W[5, :].T
+    W[5, 5] = 0
+    W = sps.csr_matrix(W)
+    mat = wd.windowed_from_scipy(W, chunk_rows=64, window_rows=16)
+    x = rng.normal(size=(n, 2))
+    np.testing.assert_allclose(np.asarray(mat @ jnp.asarray(x)),
+                               W @ x, rtol=1e-10, atol=1e-10)
+
+
+def test_windowed_spmm_via_dispatch():
+    rng = np.random.default_rng(5)
+    W = _random_powerlaw(300, rng)
+    mat = wd.windowed_from_scipy(W, chunk_rows=128, window_rows=64)
+    x = jnp.asarray(rng.normal(size=(300, 2)))
+    np.testing.assert_allclose(np.asarray(sp.spmm(mat, x)),
+                               W @ np.asarray(x), rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize('lap_type', ['combinatorial', 'normalized'])
+def test_windowed_cheby_matches_plain(lap_type):
+    """Full Chebyshev bank through the chunked driver with a windowed
+    offdiag == plain CSR cheby_op."""
+    rng = np.random.default_rng(17)
+    W = _random_powerlaw(500, rng)
+    Wm = sp.from_scipy(W)
+    L = laplacian_op(Wm, lap_type)
+    Lw = L.to_windowed(chunk_rows=96, window_rows=32)
+    assert isinstance(Lw.offdiag, wd.WindowedELLMatrix)
+    lmax = 1.02 * float(abs(sps.linalg.eigsh(
+        L.to_scipy(), k=1, return_eigenvectors=False)[0]))
+
+    def evaluate(lam):
+        scales = jnp.asarray([1.0, 5.0, 25.0])
+        return jnp.exp(-scales[:, None] * lam[None, :] / lmax)
+
+    c = cheby.cheby_coeff(evaluate, lmax, m=20)
+    x = jnp.asarray(rng.normal(size=(500, 3)))
+    got = np.asarray(cheby.cheby_op(Lw, lmax, c, x))
+    want = np.asarray(cheby.cheby_op(L, lmax, c, x))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_windowed_scale_astype_abs():
+    rng = np.random.default_rng(13)
+    W = _random_powerlaw(150, rng)
+    mat = wd.windowed_from_scipy(W, chunk_rows=64, window_rows=32,
+                                 slab_width=8)
+    x = rng.normal(size=(150,))
+    np.testing.assert_allclose(np.asarray(mat.scale_vals(2.0) @ x),
+                               2.0 * (W @ x), rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(mat.abs_vals() @ x), abs(W) @ x,
+        rtol=1e-10, atol=1e-10)
+    assert mat.astype(jnp.float32).dtype == jnp.float32
+
+
+def test_windowed_ragged_chunks():
+    """n_rows not a multiple of chunk_rows: padded windows stay silent."""
+    rng = np.random.default_rng(23)
+    W = _random_powerlaw(333, rng)
+    mat = wd.windowed_from_scipy(W, chunk_rows=128, window_rows=64)
+    x = rng.normal(size=(333, 2))
+    np.testing.assert_allclose(np.asarray(mat @ jnp.asarray(x)),
+                               W @ x, rtol=1e-10, atol=1e-10)
+
+
+def test_windowed_validation():
+    rng = np.random.default_rng(1)
+    W = _random_powerlaw(100, rng)
+    with pytest.raises(ValueError, match='multiple'):
+        wd.windowed_from_scipy(W, chunk_rows=100, window_rows=64)
+    with pytest.raises(ValueError, match='uint8'):
+        wd.windowed_from_scipy(W, chunk_rows=512, window_rows=256)
