@@ -140,28 +140,71 @@ _NX_FORMATS = {
 
 
 def save(G, path, fmt=None, backend=None):
-    """Save to GraphML/GML/GEXF via networkx (reference ``_io.py:375-454``)."""
+    """Save to GraphML/GML/GEXF (reference ``_io.py:458-556``).
+
+    ``backend``: 'networkx', 'graph-tool', or None (try networkx, fall
+    back to graph-tool) — the reference's routing, including the
+    ImportError when an explicitly requested backend is missing.
+    """
     if fmt is None:
         fmt = os.path.splitext(path)[1][1:]
     if fmt not in _NX_FORMATS:
         raise ValueError(f'Unsupported format {fmt}. '
                          f'Supported: {sorted(_NX_FORMATS)}.')
-    if backend not in (None, 'networkx'):
-        raise ValueError(f'Unsupported backend {backend}.')
-    nx = _import_networkx()
-    graph = to_networkx(G)
-    getattr(nx, _NX_FORMATS[fmt][1])(graph, path)
+
+    def save_networkx():
+        nx = _import_networkx()
+        getattr(nx, _NX_FORMATS[fmt][1])(to_networkx(G), path)
+
+    def save_graphtool():
+        to_graphtool(G).save(path, fmt=fmt)
+
+    if backend == 'networkx':
+        save_networkx()
+    elif backend == 'graph-tool':
+        save_graphtool()
+    elif backend is None:
+        try:
+            save_networkx()
+        except ImportError:
+            try:
+                save_graphtool()
+            except ImportError:
+                raise ImportError('Cannot import networkx nor graph-tool.')
+    else:
+        raise ValueError(f'Unknown backend {backend}.')
 
 
 def load(path, fmt=None, backend=None):
-    """Load from GraphML/GML/GEXF via networkx (reference ``_io.py:456-556``)."""
+    """Load from GraphML/GML/GEXF (reference ``_io.py:375-456``).
+
+    Same backend routing as :func:`save`. A lossless round-trip is only
+    guaranteed when saving and loading with the same backend.
+    """
     if fmt is None:
         fmt = os.path.splitext(path)[1][1:]
     if fmt not in _NX_FORMATS:
         raise ValueError(f'Unsupported format {fmt}. '
                          f'Supported: {sorted(_NX_FORMATS)}.')
-    if backend not in (None, 'networkx'):
-        raise ValueError(f'Unsupported backend {backend}.')
-    nx = _import_networkx()
-    graph = getattr(nx, _NX_FORMATS[fmt][0])(path)
-    return from_networkx(graph)
+
+    def load_networkx():
+        nx = _import_networkx()
+        return from_networkx(getattr(nx, _NX_FORMATS[fmt][0])(path))
+
+    def load_graphtool():
+        import graph_tool as gt
+        return from_graphtool(gt.load_graph(path, fmt=fmt))
+
+    if backend == 'networkx':
+        return load_networkx()
+    if backend == 'graph-tool':
+        return load_graphtool()
+    if backend is None:
+        try:
+            return load_networkx()
+        except ImportError:
+            try:
+                return load_graphtool()
+            except ImportError:
+                raise ImportError('Cannot import networkx nor graph-tool.')
+    raise ValueError(f'Unknown backend {backend}.')

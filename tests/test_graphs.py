@@ -394,3 +394,30 @@ def test_save_load_all_formats(tmp_path, rng, fmt):
     G.save(path)
     G2 = gsp.graphs.Graph.load(path)
     assert np.allclose(G2.W.toarray(), G.W.toarray(), atol=1e-6)
+
+
+def test_save_load_backend_routing(tmp_path):
+    """Reference backend routing (``_io.py:375-556``): explicit
+    'networkx' works, explicit 'graph-tool' raises ImportError when the
+    optional dependency is absent (or round-trips when present), and an
+    unknown backend raises ValueError."""
+    G = gsp.graphs.Sensor(10, seed=3)
+    path = str(tmp_path / 'g.graphml')
+    G.save(path, backend='networkx')
+    G2 = gsp.graphs.Graph.load(path, backend='networkx')
+    assert np.allclose(G2.W.toarray(), G.W.toarray(), atol=1e-6)
+    try:
+        import graph_tool  # noqa: F401
+        G.save(str(tmp_path / 'gt.graphml'), backend='graph-tool')
+        G3 = gsp.graphs.Graph.load(str(tmp_path / 'gt.graphml'),
+                                   backend='graph-tool')
+        assert np.allclose(G3.W.toarray(), G.W.toarray(), atol=1e-6)
+    except ImportError:
+        with pytest.raises(ImportError):
+            G.save(str(tmp_path / 'gt.graphml'), backend='graph-tool')
+        with pytest.raises(ImportError):
+            gsp.graphs.Graph.load(path, backend='graph-tool')
+    with pytest.raises(ValueError, match='backend'):
+        G.save(path, backend='bogus')
+    with pytest.raises(ValueError, match='backend'):
+        gsp.graphs.Graph.load(path, backend='bogus')
