@@ -67,20 +67,20 @@ def main():
     dw = np.ravel(W.sum(axis=1)).astype(np.float32)
     lmax = float(2 * dw.max())  # Gershgorin bound; exactness irrelevant here
 
-    from pygsp_tpu.core import chunked as core_chunked
+    from pygsp_tpu.core import windowed as core_windowed
     from pygsp_tpu.core.operators import LaplacianOp
     from pygsp_tpu.ops import chebyshev as cheby
 
     t0 = time.time()
     Wneg = W.copy()
     Wneg.data = -Wneg.data
-    H = core_chunked.chunked_from_scipy(Wneg, dtype=np.float32)
+    H = core_windowed.windowed_from_scipy(Wneg, dtype=np.float32)
     L = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
                     lap_type='combinatorial')
-    slots = sum(b.cols.shape[0] * b.cols.shape[1] for b in H.blocks)
+    slots = H.n_slots
     slots += sum(l.cols.shape[0] * l.cols.shape[1] for l in H.levels)
     log(f'device graph built in {time.time() - t0:.1f}s; '
-        f'chunked blocks={len(H.blocks)} slot_pad={slots/nnz:.2f}; '
+        f'windowed L={H.cols.shape[3]} slot_pad={slots/nnz:.2f}; '
         f'device={jax.devices()[0]}')
 
     def evaluate(lam):

@@ -260,8 +260,10 @@ class Graph:
         invalidates spectral caches. ``fmt='hybrid'`` stores the
         off-diagonal block in the multi-level ELL TPU fast path
         (identical math, different summation order); ``fmt='chunked'``
-        in the chunked variant whose gathers stay below the VMEM cliff
-        (large power-law graphs); ``fmt='auto'`` picks by size.
+        in the chunked variant whose gathers stay below the VMEM cliff;
+        ``fmt='windowed'`` in the windowed-compact variant (exact-packed
+        slots + MXU one-hot fold — the fastest power-law path, see
+        ``core.windowed``); ``fmt='auto'`` picks by size.
         """
         if getattr(self, 'lap_type', None) != lap_type:
             self._lmax = None
@@ -286,13 +288,15 @@ class Graph:
         self._L = laplacian_op(Wsym, lap_type)
         if fmt == 'auto':
             # the VMEM gather window (core.chunked.CHUNK_ROWS): larger
-            # graphs pay the ~4x gather cliff unless chunked
+            # graphs pay the ~4x gather cliff unless chunked/windowed
             from pygsp_tpu.core.chunked import CHUNK_ROWS
-            fmt = 'chunked' if self.n_vertices > CHUNK_ROWS else 'hybrid'
+            fmt = 'windowed' if self.n_vertices > CHUNK_ROWS else 'hybrid'
         if fmt == 'hybrid':
             self._L = self._L.to_hybrid()
         elif fmt == 'chunked':
             self._L = self._L.to_chunked()
+        elif fmt == 'windowed':
+            self._L = self._L.to_windowed()
         elif fmt != 'coo':
             raise ValueError(f'Unknown Laplacian format {fmt!r}')
         self._Wsym_host = W
