@@ -1,0 +1,95 @@
+"""Chunk-size sweep for the windowed SpMM: does a smaller gather
+operand (R = 2^14/2^15 rows -> 8/16 MB at S=128) reach the ~2.8 ns/row
+regime the flat-gather probes saw, and does that beat the extra
+stack/padding cost of more chunks?
+
+Real bench graph (BA 16.7M edges), real builder, bare SpMM timing.
+
+Run: nohup python benchmarks/windowed_diag6.py > /tmp/windowed_diag6.out 2>&1 &
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sps
+
+sys.path.insert(0, '/root/repo')
+
+N = 1 << 20
+S = 128
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pygsp_tpu.core import windowed as wd
+    from pygsp_tpu.core.chunked import chunk_signal
+
+    log(f'device: {jax.devices()[0]}')
+    with np.load('/root/repo/.bench_cache/bafast_1048576_8.npz') as d:
+        src, tgt = d['src'], d['tgt']
+    W = sps.csr_matrix(
+        (np.ones(2 * len(src), dtype=np.float32),
+         (np.concatenate([src, tgt]), np.concatenate([tgt, src]))),
+        shape=(N, N))
+    W.data[:] = 1.0
+    W.sum_duplicates()
+    nnz = W.nnz
+    coo = W.tocoo()
+    x_np = np.random.default_rng(0).normal(size=(N, S)).astype(np.float32)
+
+    ref = None
+    for R in (1 << 16, 1 << 15, 1 << 14):
+        t0 = time.time()
+        H = wd.windowed_from_host_coo(coo.row, coo.col, coo.data, N, N,
+                                      chunk_rows=R, dtype=np.float32)
+        build_s = time.time() - t0
+        n_slots = H.n_slots + sum(
+            l.cols.shape[0] * l.cols.shape[1] for l in H.levels)
+        xc = chunk_signal(jnp.asarray(x_np), R)
+        if H.perm is not None:
+            from pygsp_tpu.core.chunked import permute_in
+            xc = chunk_signal(permute_in(H, jnp.asarray(x_np)), R)
+
+        jf = jax.jit(lambda m, xs: m.spmm_chunks(xs))
+        t0 = time.time()
+        o = jf(H, xc)
+        float(jnp.sum(o[0][::257, 0]))
+        comp = time.time() - t0
+
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(5):
+                o = jf(H, xc)
+            float(jnp.sum(o[0][::257, 0]))
+            ts.append((time.time() - t0) / 5)
+        dt = float(np.median(ts))
+
+        full = jnp.concatenate(o)
+        if ref is None:
+            ref = full
+            err = 0.0
+        else:
+            err = float(jnp.max(jnp.abs(full - ref))
+                        / (jnp.max(jnp.abs(ref)) + 1e-30))
+        emit(R=R, L=int(H.cols.shape[3]), n_src=H.n_src_chunks,
+             slot_pad=round(n_slots / nnz, 3), build_s=round(build_s, 1),
+             compile_s=round(comp, 1), ms=dt * 1e3,
+             ns_per_slot=dt / n_slots * 1e9,
+             ns_per_edge=dt / nnz * 1e9, rel_err=err)
+    log('done')
+
+
+if __name__ == '__main__':
+    main()

@@ -53,9 +53,19 @@ from pygsp_tpu.core.sparse import _slot_block_sum
 WINDOW_ROWS = 64
 
 # MXU precision of the one-hot fold. HIGHEST emulates true f32 through
-# extra bf16 passes (1.5e-7 parity); DEFAULT is one pass (~2e-3 error).
-# Measured identical speed at these shapes — the knob exists for probes.
+# ~6 bf16 passes, measured ~15 ms/SpMM over DEFAULT's single pass at the
+# bench config (``benchmarks/windowed_diag7.py``); DEFAULT alone rounds
+# through bf16 at ~5e-4. The float32 path therefore uses a manual
+# TWO-pass split (``_FOLD_SPLIT2``): the one-hot operand is EXACT in
+# bf16 (entries 0/1), so only the gathered products need hi/lo
+# splitting — ``oh @ p_hi + oh @ p_lo`` at DEFAULT costs 2 passes for
+# ~1e-6 error where HIGH/HIGHEST burn 6 splitting both operands.
+# MEASURED OFF in the full Chebyshev bank: the bare SpMM wins ~15 ms
+# (diag7) but in-bank both split operands materialize and the bank
+# LOSES ~400 ms (/tmp/bench_r2_g1 vs bench_r2_v2) — left as a probe
+# knob only.
 FOLD_PRECISION = lax.Precision.HIGHEST
+_FOLD_SPLIT2 = False
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -67,7 +77,7 @@ FOLD_PRECISION = lax.Precision.HIGHEST
 class WindowedELLMatrix:
     """Windowed-compact sparse matrix (see module docstring).
 
-    ``cols``/``vals``/``rowid``: ``(n_out, n_src, NW, L)`` slot slabs —
+    ``cols``/``vals``/``rowid``: ``(n_out, NW, n_src, L)`` slot slabs —
     ``cols`` local to the source chunk (sentinel ``== chunk_rows``:
     clamped gather, zero value), ``rowid`` in ``[0, 2P)`` (uint8) giving
     the output row RELATIVE to the slab's window base (values >= P
@@ -113,7 +123,7 @@ class WindowedELLMatrix:
 
     @property
     def n_src_chunks(self) -> int:
-        return self.cols.shape[1]
+        return self.cols.shape[2]
 
     def out_chunk_size(self, i: int) -> int:
         return min(self.chunk_rows, self.n_rows - i * self.chunk_rows)
@@ -154,13 +164,19 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks) -> tuple:
     """``y_chunks = A @ x_chunks`` with tuple-of-chunk input and output.
 
     One ``lax.scan`` over output chunks; the body gathers every source
-    chunk's slab, folds slots to window rows with the one-hot MXU
-    contraction, and overlap-adds the borrowed half. Levels fold with
+    chunk's slab, stacks the gathers along the slot axis, and folds ALL
+    slots to window rows with ONE one-hot MXU contraction per out chunk
+    (``benchmarks/windowed_diag3.py``: the per-src-chunk einsum variant
+    writes its (NW, 2P, S) output once per src chunk — accumulation
+    traffic that put a 95 ms floor under an 81 ms dot). The borrowed
+    half overlap-adds via a concatenate-with-zeros + add, which fuses
+    into the dot epilogue (``windowed_diag5.py``: same speed as no add;
+    ``.at[].add`` and ``pad`` variants cost 2.5-7 ms). Levels fold with
     one global scatter afterwards (outside the scan).
     """
     R = mat.chunk_rows
     P = mat.window_rows
-    n_out, n_src, NW, L = mat.cols.shape
+    n_out, NW, n_src, L = mat.cols.shape
     xt = tuple(jnp.asarray(xk) for xk in x_chunks)
     trailing = xt[0].shape[1:]
     x2 = tuple(xk.reshape(xk.shape[0], -1) for xk in xt)   # (rows, S)
@@ -170,19 +186,28 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks) -> tuple:
 
     with jax.named_scope('spmm_windowed'):
         def body(carry, slab):
-            co, va, ri = slab                       # (n_src, NW, L) each
-            t = None
-            for c in range(n_src):
-                p = va[c][..., None] * x2[c][co[c]]          # (NW, L, S)
-                oh = (ri[c].astype(jnp.int32)[..., None]
-                      == iota).astype(dt)                    # (NW, L, 2P)
-                u = jnp.einsum('wlp,wls->wps', oh, p,
+            co, va, ri = slab                       # (NW, n_src, L) each
+            ps = [va[:, c][..., None] * x2[c][co[:, c]]      # (NW, L, S)
+                  for c in range(n_src)]
+            p = (jnp.stack(ps, axis=1).reshape(NW, n_src * L, S)
+                 if n_src > 1 else ps[0])
+            oh = (ri.reshape(NW, n_src * L).astype(jnp.int32)[..., None]
+                  == iota).astype(dt)               # (NW, n_src*L, 2P)
+            if _FOLD_SPLIT2 and dt == jnp.float32:
+                p_hi = p.astype(jnp.bfloat16).astype(dt)
+                p_lo = p - p_hi
+                t = (jnp.einsum('wlp,wls->wps', oh, p_hi,
+                                preferred_element_type=dt)
+                     + jnp.einsum('wlp,wls->wps', oh, p_lo,
+                                  preferred_element_type=dt))
+            else:
+                t = jnp.einsum('wlp,wls->wps', oh, p,
                                precision=FOLD_PRECISION,
                                preferred_element_type=dt)
-                t = u if t is None else t + u
             a = t[:, :P, :].reshape(NW * P, S)
             b = t[:, P:, :].reshape(NW * P, S)
-            y = a.at[P:].add(b[:-P]) if NW > 1 else a
+            y = (a + jnp.concatenate([jnp.zeros((P, S), dt), b[:-P]])
+                 if NW > 1 else a)
             return carry, y
 
         _, ys = lax.scan(body, 0,
@@ -385,7 +410,11 @@ def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
     slab_vals[flat] = vals_w[keep]
     slab_rowid[flat] = rel_row[keep].astype(np.uint8)
 
-    shape4 = (n_out, n_src, NW, L)
+    # slab layout (n_out, NW, n_src, L): the SpMM stacks every src
+    # chunk's slots along the contraction axis of ONE dot per out chunk
+    def shape4(a):
+        return np.ascontiguousarray(
+            a.reshape(n_out, n_src, NW, L).transpose(0, 2, 1, 3))
     # residue (window spill + hub rows) -> {1, 8}-wide level tiers per
     # src chunk, wide rows split over repeated tier entries
     res_rows = np.concatenate([rows_w[in_residue], rows_s[hub_s]])
@@ -395,8 +424,8 @@ def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
         res_rows, res_cols, res_vals, res_cols // R, R, vals.dtype)
 
     host = WindowedELLMatrix(
-        cols=slab_cols.reshape(shape4), vals=slab_vals.reshape(shape4),
-        rowid=slab_rowid.reshape(shape4), levels=levels,
+        cols=shape4(slab_cols), vals=shape4(slab_vals),
+        rowid=shape4(slab_rowid), levels=levels,
         level_rows=level_rows, rowptr=rowptr.astype(np.int32),
         n_rows=int(n_rows), n_cols=int(n_cols), nnz=int(rows.size),
         chunk_rows=R, window_rows=P,

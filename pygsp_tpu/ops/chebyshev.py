@@ -143,15 +143,44 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
             ck.permute_in(factor.offdiag, factor.diag).reshape(dshape), R)
         fmat = factor.offdiag
 
-        def step(carry, ckk):
-            t_old, t_cur, acc = carry
+        def recur(t_old, t_cur):
             lc = lap_chunks(fdiag_c, fmat, t_cur)
-            t_new = tuple(l - o for l, o in zip(lc, t_old))
-            acc = tuple(a + ckk.reshape(bshape) * t[None]
-                        for a, t in zip(acc, t_new))
-            return (t_cur, t_new, acc), None
+            return tuple(l - o for l, o in zip(lc, t_old))
 
-        (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc), c[:, 2:].T)
+        def add_acc(acc, ckk, t_new):
+            return tuple(a + ckk.reshape(bshape) * t[None]
+                         for a, t in zip(acc, t_new))
+
+        # ACC GROUPING: the per-step accumulator update reads+writes all
+        # Nf (N, S) buffers — 4 GB/step at the bench config, ~20% of the
+        # step on top of the gather-bound SpMM. Running g recurrence
+        # steps per scan iteration folds g updates into one acc pass.
+        rem = m1 - 2
+        g = 4 if rem >= 8 else (2 if rem >= 4 else 1)
+        import os
+        if os.environ.get('PYGSP_CHEBY_ACC_GROUP'):
+            g = min(int(os.environ['PYGSP_CHEBY_ACC_GROUP']), max(rem, 1))
+        for k in range(2, 2 + rem % g):      # unrolled head remainder
+            t_new = recur(t_old, t_cur)
+            acc = add_acc(acc, c[:, k], t_new)
+            t_old, t_cur = t_cur, t_new
+        cg = c[:, 2 + rem % g:].T.reshape(-1, g, nf)   # (n_groups, g, nf)
+
+        def step(carry, ckg):
+            t_old, t_cur, acc = carry
+            terms = []
+            for j in range(g):
+                t_new = recur(t_old, t_cur)
+                terms.append(t_new)
+                t_old, t_cur = t_cur, t_new
+            acc = tuple(
+                a + sum(ckg[j].reshape(bshape) * terms[j][i][None]
+                        for j in range(g))
+                for i, a in enumerate(acc))
+            return (t_old, t_cur, acc), None
+
+        if cg.shape[0]:
+            (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc), cg)
     out = acc[0] if len(acc) == 1 else jnp.concatenate(acc, axis=1)
     return ck.permute_out(L.offdiag, out, axis=1)
 
