@@ -58,7 +58,7 @@ def main():
     n_graph = max(d for d in (1, 2, 4, 8) if d <= n_dev and n_dev % d == 0)
     t0 = time.time()
     sg = partition_graph(W, n_graph, reorder='none')
-    print(f'partitioned over {n_graph} shards (halo={sg.halo_size}) '
+    print(f'partitioned over {n_graph} shards (halo={sg.halo_total}) '
           f'in {time.time()-t0:.0f}s', file=sys.stderr, flush=True)
 
     scales = jnp.asarray([5.0, 20.0], jnp.float32)

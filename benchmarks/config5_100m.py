@@ -99,11 +99,20 @@ def main():
     def sync(o):
         return float(jnp.sum(jnp.ravel(o)[::65537]))
 
+    # Memory model at N=4.2M (OOM dumps /tmp/config5*.out): every (N, S)
+    # f32 state buffer lane-pads S up to 128 (2.15 GB each REGARDLESS of
+    # S <= 128 — small S wastes lanes without saving memory), and the
+    # grouped Chebyshev accumulation holds g extra term buffers. So:
+    # run FULL S=128 lanes, g=1 (+1 transient buffer instead of +4),
+    # and sub-chunk the windowed scan body (inner scan, bounded temps).
+    os.environ.setdefault('PYGSP_WINDOWED_BODY_MB', '512')
+    os.environ.setdefault('PYGSP_CHEBY_ACC_GROUP', '1')
     rng = np.random.default_rng(0)
-    for S, nf in ((64, 4), (32, 4), (16, 2)):
+    for S, nf in ((128, 1), (64, 1), (32, 1)):
         try:
-            evaluate = make_eval(nf)
-            c = cheby.cheby_coeff(evaluate, lmax, m=K, dtype=jnp.float32)
+            evaluate = make_eval(max(nf, 2))
+            c = cheby.cheby_coeff(evaluate, lmax, m=K,
+                                  dtype=jnp.float32)[:nf]
             x = jnp.asarray(rng.normal(size=(N, S)).astype(np.float32))
             run = jax.jit(lambda L, c, x: cheby.cheby_op(L, lmax, c, x))
             t0 = time.time()
@@ -111,18 +120,23 @@ def main():
             sync(out[0])
             comp = time.time() - t0
             log(f'S={S} nf={nf}: compiled+ran in {comp:.1f}s')
+            # pull validation columns to host, then FREE the (nf, N, S)
+            # output before re-running — holding it doubles the
+            # live-output footprint (4.3 GB at S=64/nf=4)
+            dev = np.asarray(out[0, :, :2])
+            del out
             ts = []
             for _ in range(2):
                 t0 = time.time()
                 o = run(Lop, c, x)
                 sync(o[0])
                 ts.append(time.time() - t0)
+                del o
             dt = float(np.median(ts))
             # validate vs reference arithmetic on 2 columns
             import bench as benchmod
             cpu_eps, cpu_out = benchmod.reference_cpu_eps(
                 W, lmax, np.asarray(c), np.asarray(x)[:, :2])
-            dev = np.asarray(out[0, :, :2])
             err = float(np.abs(dev - cpu_out).max()
                         / (np.abs(cpu_out).max() + 1e-30))
             emit(tag='config5_bank', S=S, nf=nf, K=K, nnz=nnz,

@@ -2,12 +2,12 @@
 
 VERDICT round-1 item 6: the interior/boundary split
 (`parallel/sharded.py`) was *correct* but never shown to overlap the halo
-all_to_all with interior work. This script:
+halo collectives (ppermutes) with interior work. This script:
 
 1. times `sharded_cheby_op` with the combined ELL vs the
    interior/boundary split on the virtual 8-device mesh,
 2. captures a `jax.profiler` trace of both (TRACE_DIR), where the
-   all_to_all can be inspected against the interior `spmm_ell` scopes,
+   collective-permutes can be inspected against the interior `spmm_ell` scopes,
 3. writes OVERLAP_r2.json.
 
 Run CPU-side:
@@ -17,7 +17,7 @@ Run CPU-side:
 
 Virtual CPU devices serialize compute, so wall-clock parity (not speedup)
 is the expected CPU result; the artifact that matters is the trace
-showing the all_to_all issued before — not after — the interior
+showing the halo exchange issued before — not after — the interior
 aggregation, i.e. XLA is free to overlap them on real ICI. On real
 multi-chip hardware rerun this unchanged.
 """

@@ -31,16 +31,16 @@ def analyze(W, n_shards, balance, reorder):
     n_local = sg.n_local
     real = rows < n_local
     nnz_per = real.sum(axis=1)
-    send = np.asarray(sg.send_idx)
-    real_send = (send < n_local).sum()
-    alloc_send = send.size
+    real_send = sum(int((np.asarray(a) < n_local).sum())
+                    for a in sg.send_idx)
+    alloc_send = sum(int(np.asarray(a).size) for a in sg.send_idx)
     return dict(
         n_shards=n_shards, balance=balance, reorder=reorder,
         n_local=int(n_local), E=int(rows.shape[1]),
         nnz_imbalance=float(nnz_per.max() / max(nnz_per.mean(), 1)),
         halo_total=int(real_send), halo_alloc=int(alloc_send),
         halo_pad_ratio=float(alloc_send / max(real_send, 1)),
-        halo_H=int(sg.halo_size))
+        halo_dists=list(sg.halo_dists), halo_sizes=list(sg.halo_sizes))
 
 
 def main():

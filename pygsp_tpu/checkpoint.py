@@ -61,14 +61,18 @@ def save_sharded(path_prefix: str, sg) -> None:
     np.savez_compressed(
         f'{path_prefix}.meta.npz',
         n_shards=np.array(sg.n_shards), n_local=np.array(sg.n_local),
-        halo_size=np.array(sg.halo_size), n_vertices=np.array(sg.n_vertices),
+        halo_dists=np.asarray(sg.halo_dists, dtype=np.int64),
+        halo_sizes=np.asarray(sg.halo_sizes, dtype=np.int64),
+        n_vertices=np.array(sg.n_vertices),
         lap_type=np.array(sg.lap_type), perm=np.asarray(sg.perm))
     for s in range(sg.n_shards):
+        send = {f'send_idx{k}': np.asarray(a[s])
+                for k, a in enumerate(sg.send_idx)}
         np.savez_compressed(
             f'{path_prefix}.shard{s}.npz',
             rows=np.asarray(sg.rows[s]), cols=np.asarray(sg.cols[s]),
             vals=np.asarray(sg.vals[s]), diag=np.asarray(sg.diag[s]),
-            send_idx=np.asarray(sg.send_idx[s]))
+            **send)
 
 
 def load_sharded(path_prefix: str):
@@ -78,12 +82,16 @@ def load_sharded(path_prefix: str):
 
     with np.load(f'{path_prefix}.meta.npz') as m:
         n_shards = int(m['n_shards'])
+        halo_dists = tuple(int(d) for d in m['halo_dists'])
         meta = dict(n_shards=n_shards, n_local=int(m['n_local']),
-                    halo_size=int(m['halo_size']),
+                    halo_dists=halo_dists,
+                    halo_sizes=tuple(int(h) for h in m['halo_sizes']),
                     n_vertices=int(m['n_vertices']),
                     lap_type=str(m['lap_type']))
         perm = jnp.asarray(m['perm'])
-    parts = {k: [] for k in ('rows', 'cols', 'vals', 'diag', 'send_idx')}
+    keys = ['rows', 'cols', 'vals', 'diag'] + [
+        f'send_idx{k}' for k in range(len(halo_dists))]
+    parts = {k: [] for k in keys}
     for s in range(n_shards):
         with np.load(f'{path_prefix}.shard{s}.npz') as d:
             for k in parts:
@@ -93,5 +101,7 @@ def load_sharded(path_prefix: str):
         cols=jnp.asarray(np.stack(parts['cols'])),
         vals=jnp.asarray(np.stack(parts['vals'])),
         diag=jnp.asarray(np.stack(parts['diag'])),
-        send_idx=jnp.asarray(np.stack(parts['send_idx'])),
+        send_idx=tuple(
+            jnp.asarray(np.stack(parts[f'send_idx{k}']))
+            for k in range(len(halo_dists))),
         perm=perm, **meta)

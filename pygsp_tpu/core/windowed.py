@@ -36,6 +36,7 @@ reference's ``G.L.dot(signal)`` (``pygsp/filters/approximations.py:99``).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -184,34 +185,88 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks) -> tuple:
     dt = x2[0].dtype
     iota = jnp.arange(2 * P, dtype=jnp.int32)
 
+    # Windows per scan step. The body's stacked gather ``p`` and the
+    # one-hot fold materialize temps of ~4·nw·(n_src·L·(S̃+2P) + 8·P·S̃)
+    # bytes (S̃ = S lane-padded to 128) — at config-5 scale (32 src
+    # chunks) that is gigabytes, so the scan sub-chunks the window axis,
+    # carrying the (P, S) borrowed block across steps. Borrowing never
+    # crosses an (out, src) block (window 0 borrows nothing and the last
+    # slab of a block holds no forward rows), so the carry entering each
+    # out chunk is exactly zero and the split is arithmetic-identical.
+    nw_sub = NW
+    env_step = os.environ.get('PYGSP_WINDOW_STEP')
+    if env_step:
+        nw_sub = max(1, min(NW, int(env_step)))
+        while NW % nw_sub:
+            nw_sub -= 1
+    else:
+        cap = float(os.environ.get('PYGSP_WINDOWED_BODY_MB', 2048)) * 2**20
+        spad = -(-S // 128) * 128
+
+        def est(nws):
+            return 4.0 * nws * (n_src * L * (spad + 2 * P)
+                                + 8 * P * spad)
+
+        while nw_sub > 1 and nw_sub % 2 == 0 and est(nw_sub) > cap:
+            nw_sub //= 2
+
     with jax.named_scope('spmm_windowed'):
-        def body(carry, slab):
-            co, va, ri = slab                       # (NW, n_src, L) each
-            ps = [va[:, c][..., None] * x2[c][co[:, c]]      # (NW, L, S)
+        def fold(co, va, ri, nw):
+            """Gather all src chunks' slots + one-hot MXU fold ->
+            (nw, 2P, S) window rows (upper half = borrowed/forward)."""
+            ps = [va[:, c][..., None] * x2[c][co[:, c]]      # (nw, L, S)
                   for c in range(n_src)]
-            p = (jnp.stack(ps, axis=1).reshape(NW, n_src * L, S)
+            p = (jnp.stack(ps, axis=1).reshape(nw, n_src * L, S)
                  if n_src > 1 else ps[0])
-            oh = (ri.reshape(NW, n_src * L).astype(jnp.int32)[..., None]
-                  == iota).astype(dt)               # (NW, n_src*L, 2P)
+            oh = (ri.reshape(nw, n_src * L).astype(jnp.int32)[..., None]
+                  == iota).astype(dt)               # (nw, n_src*L, 2P)
             if _FOLD_SPLIT2 and dt == jnp.float32:
                 p_hi = p.astype(jnp.bfloat16).astype(dt)
                 p_lo = p - p_hi
-                t = (jnp.einsum('wlp,wls->wps', oh, p_hi,
-                                preferred_element_type=dt)
-                     + jnp.einsum('wlp,wls->wps', oh, p_lo,
-                                  preferred_element_type=dt))
-            else:
-                t = jnp.einsum('wlp,wls->wps', oh, p,
-                               precision=FOLD_PRECISION,
-                               preferred_element_type=dt)
-            a = t[:, :P, :].reshape(NW * P, S)
-            b = t[:, P:, :].reshape(NW * P, S)
-            y = (a + jnp.concatenate([jnp.zeros((P, S), dt), b[:-P]])
-                 if NW > 1 else a)
-            return carry, y
+                return (jnp.einsum('wlp,wls->wps', oh, p_hi,
+                                   preferred_element_type=dt)
+                        + jnp.einsum('wlp,wls->wps', oh, p_lo,
+                                     preferred_element_type=dt))
+            return jnp.einsum('wlp,wls->wps', oh, p,
+                              precision=FOLD_PRECISION,
+                              preferred_element_type=dt)
 
-        _, ys = lax.scan(body, 0,
-                         (mat.cols, mat.vals, mat.rowid))   # (n_out, R', S)
+        if nw_sub == NW:
+            # fast path: zero borrow prefix per out chunk (measured to
+            # fuse into the dot epilogue — windowed_diag5.py)
+            def body(carry, slab):
+                t = fold(*slab, NW)
+                a = t[:, :P, :].reshape(NW * P, S)
+                b = t[:, P:, :].reshape(NW * P, S)
+                y = (a + jnp.concatenate([jnp.zeros((P, S), dt), b[:-P]])
+                     if NW > 1 else a)
+                return carry, y
+        else:
+            # sub-chunked: an INNER scan over window groups, reshaping
+            # the out chunk's slab inside the body (splitting the leading
+            # window axis only — reshaping the scan INPUTS instead makes
+            # XLA relayout-copy the full GB-scale slab arrays). The
+            # incoming borrow of each out chunk is zero, so the inner
+            # carry starts at zeros every chunk.
+            G = NW // nw_sub
+
+            def body(carry, slab):
+                co, va, ri = (a.reshape((G, nw_sub) + a.shape[1:])
+                              for a in slab)
+
+                def inner(bcar, sub):
+                    t = fold(*sub, nw_sub)
+                    a = t[:, :P, :].reshape(nw_sub * P, S)
+                    b = t[:, P:, :].reshape(nw_sub * P, S)
+                    y = a + (jnp.concatenate([bcar, b[:-P]])
+                             if nw_sub > 1 else bcar)
+                    return b[-P:], y
+
+                _, ys2 = lax.scan(inner, jnp.zeros((P, S), dt),
+                                  (co, va, ri))
+                return carry, ys2.reshape(NW * P, S)
+
+        _, ys = lax.scan(body, 0, (mat.cols, mat.vals, mat.rowid))
         yf = ys.reshape(n_out * NW * P, S)
 
         if mat.levels:

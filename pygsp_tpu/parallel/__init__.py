@@ -3,7 +3,7 @@
 The reference is single-process (SURVEY §2.6); this package is the
 new-first-class scale-out layer: a 1-D vertex/edge partition of the graph
 over a ``jax.sharding.Mesh`` axis, per-Chebyshev-step halo exchange of
-boundary vertex values compiled to one ``all_to_all`` over ICI, and the
+boundary vertex values compiled to distance-bucketed ``ppermute``s over ICI, and the
 signal/feature axis optionally sharded as data parallelism.
 """
 

@@ -4,7 +4,7 @@ analogue — the reference is single-process).
 A multi-host run is: every host calls :func:`initialize` (which wires
 ``jax.distributed``), loads its own shard of the edge list (or lets
 :func:`load_edge_shard` slice a shared file), and then calls the same
-jit-ed sharded program — XLA routes the halo ``all_to_all`` over ICI
+jit-ed sharded program — XLA routes the halo ``ppermute``s over ICI
 within a slice and DCN across hosts.
 """
 

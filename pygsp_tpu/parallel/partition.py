@@ -5,14 +5,19 @@ after a bandwidth-reducing reverse-Cuthill–McKee reordering to shrink the
 boundary) with, per shard,
 
 - the local Laplacian slice in padded COO (local rows, *extended* column
-  indexing: ``[0, n_local)`` = owned vertices, ``[n_local, n_local + H)`` =
+  indexing: ``[0, n_local)`` = owned vertices, ``[n_local, ...)`` =
   received halo slots),
-- uniform-size halo send maps (``send_idx[d]`` = local vertex ids shard
-  ``self`` must ship to shard ``d`` each SpMM step),
+- distance-bucketed halo send maps: for each ring distance ``d`` with any
+  traffic, ``send_idx[k]`` of shape ``(S, H_d)`` holds the local vertex ids
+  shard ``s`` ships to shard ``(s + d) % S`` each SpMM step. Each bucket is
+  sized to ITS OWN worst sender (``H_d``), not a global max — on
+  RCM-ordered graphs almost all volume sits at d=1, so the padded exchange
+  volume collapses toward the true boundary size, and each bucket is one
+  single-shift ``ppermute`` (one ICI hop for d=1 on a real torus ring)
+  instead of a slice of a max-padded ``all_to_all``.
 
-so the sharded matvec is: one ``all_to_all`` of gathered send rows + one
-gather/segment-sum over local edges — all shapes static and identical
-across shards (a ``shard_map`` requirement).
+All shapes are static and identical across shards (a ``shard_map``
+requirement): per-distance sizes vary, per-shard sizes do not.
 
 Replaces the role scipy CSR storage plays in the reference's
 ``cheby_op`` (``pygsp/filters/approximations.py:99``) at multi-chip scale.
@@ -35,8 +40,8 @@ def _round_up(x, m):
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=['rows', 'cols', 'vals', 'diag', 'send_idx', 'perm'],
-         meta_fields=['n_shards', 'n_local', 'halo_size', 'n_vertices',
-                      'lap_type'])
+         meta_fields=['n_shards', 'n_local', 'halo_dists', 'halo_sizes',
+                      'n_vertices', 'lap_type'])
 @dataclasses.dataclass(frozen=True)
 class ShardedGraph:
     """Stacked per-shard arrays (leading axis = shard = mesh 'graph' axis).
@@ -45,26 +50,36 @@ class ShardedGraph:
     cols: (S, E) int32 — extended-local column index of each edge.
     vals: (S, E) — Laplacian off-diagonal values (−w, possibly normalized).
     diag: (S, n_local) — Laplacian diagonal of owned vertices.
-    send_idx: (S, S, H) int32 — send_idx[s, d] = local ids shard s ships to
-        shard d (n_local ⇒ padding slot, contributes zeros).
+    send_idx: tuple of (S, H_d) int32, one per ring distance in
+        ``halo_dists`` — send_idx[k][s] = local ids shard s ships to shard
+        ``(s + halo_dists[k]) % S`` (n_local ⇒ padding slot, unreferenced).
     perm: (N,) int32 — vertex reordering applied (original → position).
+    halo_dists / halo_sizes: ring distances with traffic and their bucket
+        widths H_d; receive slot layout is ``[owned ‖ bucket_0 ‖ bucket_1
+        ‖ ...]`` in ``halo_dists`` order.
     """
 
     rows: jax.Array
     cols: jax.Array
     vals: jax.Array
     diag: jax.Array
-    send_idx: jax.Array
+    send_idx: tuple
     perm: jax.Array
     n_shards: int
     n_local: int
-    halo_size: int
+    halo_dists: tuple
+    halo_sizes: tuple
     n_vertices: int
     lap_type: str
 
     @property
     def n_padded(self) -> int:
         return self.n_shards * self.n_local
+
+    @property
+    def halo_total(self) -> int:
+        """Halo slots received per shard per step (sum of bucket widths)."""
+        return int(sum(self.halo_sizes))
 
     @property
     def dtype(self):
@@ -169,24 +184,37 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
         per.append((r, c, v, is_local))
         halo_ids.append(np.unique(c[~is_local]))
 
-    # H = max over (src, dst) pairs of vertices src must send to dst
-    H = 0
+    # Per-distance bucket widths: H_d = worst (src -> src+d) send count.
+    pair_counts = np.zeros((n_shards, n_shards), dtype=np.int64)
     for s in range(n_shards):
         if len(halo_ids[s]):
-            counts = np.bincount(halo_ids[s] // n_local, minlength=n_shards)
-            H = max(H, int(counts.max()))
-    H = max(_round_up(H, 8), 8)
+            pair_counts[:, s] = np.bincount(halo_ids[s] // n_local,
+                                            minlength=n_shards)
+    dist_max = np.zeros(n_shards, dtype=np.int64)      # index = distance
+    for src in range(n_shards):
+        for dst in range(n_shards):
+            if pair_counts[src, dst]:
+                dist_max[(dst - src) % n_shards] = max(
+                    dist_max[(dst - src) % n_shards], pair_counts[src, dst])
+    halo_dists = tuple(int(d) for d in np.flatnonzero(dist_max))
+    halo_sizes = tuple(max(_round_up(int(dist_max[d]), 8), 8)
+                       for d in halo_dists)
+    k_of_dist = {d: k for k, d in enumerate(halo_dists)}
+    offsets = np.concatenate([[0], np.cumsum(halo_sizes)]).astype(np.int64)
 
     # --- pass 2 (vectorized): slot assignment + send maps ---------------
-    # recv layout on shard s: slot (src, j) = j-th entry shard src sends
-    # to s; remote ids are sorted so per-src groups are contiguous and
-    # j = rank within the group.
+    # recv layout on shard s: [owned ‖ bucket per distance]; within the
+    # bucket for distance d = (s - src) % S, slot j = j-th entry shard src
+    # sends to s; remote ids are sorted so per-src groups are contiguous
+    # and j = rank within the group (sender and receiver both derive j
+    # from the receiver's sorted remote set, so the maps agree).
     E = max((len(p_[0]) for p_ in per), default=0)
     E = max(_round_up(E, 1024), 1024)
     rows_arr = np.full((n_shards, E), n_local, dtype=np.int32)
     cols_arr = np.zeros((n_shards, E), dtype=np.int32)
     vals_arr = np.zeros((n_shards, E), dtype=dtype)
-    send_arr = np.full((n_shards, n_shards, H), n_local, dtype=np.int32)
+    send_arrs = [np.full((n_shards, h), n_local, dtype=np.int32)
+                 for h in halo_sizes]
 
     for s in range(n_shards):
         r, c, v, is_local = per[s]
@@ -196,10 +224,14 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
             src = remote // n_local
             group_start = np.searchsorted(src, np.arange(n_shards))
             j = np.arange(len(remote)) - group_start[src]
-            slot = n_local + src * H + j
+            k = np.array([k_of_dist[(s - sr) % n_shards] for sr in src],
+                         dtype=np.int64)
+            slot = n_local + offsets[k] + j
             ridx = np.searchsorted(remote, c[~is_local])
             c_ext[~is_local] = slot[ridx]
-            send_arr[src, s, j] = remote - src * n_local
+            for kk in np.unique(k):
+                m = k == kk
+                send_arrs[kk][src[m], j[m]] = remote[m] - src[m] * n_local
         ne = len(r)
         rows_arr[s, :ne] = r
         cols_arr[s, :ne] = c_ext
@@ -212,9 +244,10 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
     return ShardedGraph(
         rows=jnp.asarray(rows_arr), cols=jnp.asarray(cols_arr),
         vals=jnp.asarray(vals_arr), diag=jnp.asarray(diag_arr),
-        send_idx=jnp.asarray(send_arr), perm=jnp.asarray(perm, jnp.int32),
-        n_shards=n_shards, n_local=n_local, halo_size=H, n_vertices=N,
-        lap_type=lap_type)
+        send_idx=tuple(jnp.asarray(a) for a in send_arrs),
+        perm=jnp.asarray(perm, jnp.int32),
+        n_shards=n_shards, n_local=n_local, halo_dists=halo_dists,
+        halo_sizes=halo_sizes, n_vertices=N, lap_type=lap_type)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -230,7 +263,7 @@ class ShardedELL:
     shards (a ``shard_map`` requirement): widths/level counts are global;
     shards with fewer overflow rows pad with sentinel rows (dropped by the
     unique-row scatter). Column ids live in the extended-local space
-    ``[0, n_local + n_shards*H)``; sentinel slots point one past it.
+    ``[0, n_local + halo_total)``; sentinel slots point one past it.
     """
 
     ell_cols: jax.Array          # (S, n_local, w0)
@@ -279,7 +312,7 @@ def shard_local_ell(sg: ShardedGraph, width: int | None = None,
 
     S = sg.n_shards
     n_local = sg.n_local
-    n_ext = n_local + S * sg.halo_size
+    n_ext = n_local + sg.halo_total
     rows = np.asarray(sg.rows)
     cols = np.asarray(sg.cols)
     vals = np.asarray(sg.vals)

@@ -1,9 +1,11 @@
-"""Sharded spectral ops: shard_map SpMM with halo all_to_all + Chebyshev.
+"""Sharded spectral ops: shard_map SpMM with ragged halo exchange + Chebyshev.
 
 Per SpMM step each shard (mesh axis ``'graph'``):
 1. gathers the rows its neighbors need (``send_idx``) and exchanges them
-   with ONE tiled ``lax.all_to_all`` over the graph axis (ICI on real
-   hardware),
+   with one single-shift ``lax.ppermute`` per ring distance that carries
+   traffic — each bucket sized to that distance's own worst sender, so no
+   global max-padding, and the dominant d=1 bucket is one ICI hop on a
+   real torus ring,
 2. gathers ``x_ext = [x_local ‖ received]`` at its edges' extended-local
    column ids, multiplies by edge values, segment-sums into local rows,
 3. adds the fused diagonal term.
@@ -37,19 +39,31 @@ def make_mesh(n_graph: int, n_batch: int = 1, devices=None) -> Mesh:
     return Mesh(devices, ('graph', 'batch'))
 
 
-def _halo_exchange(x_local, send_idx, n_shards, halo):
-    """Gather send rows and exchange: returns (S*H, ...) received block."""
+def _halo_exchange(x_local, send_idx, dists, n_shards):
+    """Gather send rows and exchange per ring distance.
+
+    send_idx: tuple of (H_d, ...) local-id maps (this shard's slice);
+    returns the (sum H_d, ...) received block in ``dists`` order. Padding
+    slots hold clamped garbage but no edge references them. Each bucket is
+    one ``ppermute`` shift — independent collectives XLA can schedule
+    concurrently and overlap with interior compute.
+    """
+    if not dists:
+        return jnp.zeros((0,) + x_local.shape[1:], x_local.dtype)
     with jax.named_scope('halo_exchange'):
-        send = x_local[send_idx.reshape(-1)]    # (S*H, ...); padding slots
-        # hold clamped garbage but no edge references them.
-        if n_shards == 1:
-            return send
-        return jax.lax.all_to_all(send, 'graph', split_axis=0,
-                                  concat_axis=0, tiled=True)
+        blocks = []
+        for d, sidx in zip(dists, send_idx):
+            send = x_local[sidx]                     # (H_d, ...)
+            if n_shards > 1:
+                perm = [(i, (i + d) % n_shards) for i in range(n_shards)]
+                send = jax.lax.ppermute(send, 'graph', perm)
+            blocks.append(send)
+        return jnp.concatenate(blocks, axis=0) if len(blocks) > 1 \
+            else blocks[0]
 
 
 def _local_matvec(rows, cols, vals, diag, send_idx, x_local, *, n_shards,
-                  n_local, halo, scale=None, shift=None, ell=None):
+                  n_local, dists, scale=None, shift=None, ell=None):
     """One Laplacian matvec on this shard's slice (inside shard_map).
 
     Computes ``scale * (L - shift I) @ x`` with scale/shift fused into the
@@ -59,7 +73,7 @@ def _local_matvec(rows, cols, vals, diag, send_idx, x_local, *, n_shards,
     XLA's segment-sum scatter serializes power-law hub rows); otherwise
     gather + sorted segment-sum over the COO arrays.
     """
-    recv = _halo_exchange(x_local, send_idx, n_shards, halo)
+    recv = _halo_exchange(x_local, send_idx, dists, n_shards)
     if isinstance(ell, tuple):
         # interior/boundary split: the interior aggregation has NO data
         # dependency on the collective, so XLA can overlap the halo
@@ -110,16 +124,18 @@ def sharded_matvec(sg: ShardedGraph, x, mesh: Mesh, ell=None):
 
     def body(rows, cols, vals, diag, send_idx, ell, x_local):
         return _local_matvec(
-            rows[0], cols[0], vals[0], diag[0], send_idx[0], x_local,
-            n_shards=sg.n_shards, n_local=sg.n_local, halo=sg.halo_size,
+            rows[0], cols[0], vals[0], diag[0],
+            tuple(s[0] for s in send_idx), x_local,
+            n_shards=sg.n_shards, n_local=sg.n_local, dists=sg.halo_dists,
             ell=ell)
 
     xspec = P('graph', 'batch') if np.ndim(x) > 1 else P('graph')
     ell_spec = jax.tree.map(lambda _: P('graph'), ell)
+    send_spec = tuple(P('graph') for _ in sg.send_idx)
     f = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P('graph'), P('graph'), P('graph'), P('graph'),
-                  P('graph'), ell_spec, xspec),
+                  send_spec, ell_spec, xspec),
         out_specs=xspec)
     return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, ell, x)
 
@@ -137,12 +153,13 @@ def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh, ell=None):
 
     def body(rows, cols, vals, diag, send_idx, ell, c, lmax, x_local):
         rows, cols, vals = rows[0], cols[0], vals[0]
-        diag, send_idx = diag[0], send_idx[0]
+        diag = diag[0]
+        send_idx = tuple(s[0] for s in send_idx)
         a1 = lmax / 2
         a2 = lmax / 2
         mv = partial(_local_matvec, rows, cols, vals, diag, send_idx,
                      n_shards=sg.n_shards, n_local=sg.n_local,
-                     halo=sg.halo_size, ell=ell)
+                     dists=sg.halo_dists, ell=ell)
 
         bshape = (nf,) + (1,) * x_local.ndim
         t_old = x_local
@@ -168,10 +185,11 @@ def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh, ell=None):
         xspec = P('graph')
         ospec = P(None, 'graph')
     ell_spec = jax.tree.map(lambda _: P('graph'), ell)
+    send_spec = tuple(P('graph') for _ in sg.send_idx)
     f = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P('graph'), P('graph'), P('graph'), P('graph'),
-                  P('graph'), ell_spec, P(), P(), xspec),
+                  send_spec, ell_spec, P(), P(), xspec),
         out_specs=ospec)
     return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, ell, c,
              lmax, x)

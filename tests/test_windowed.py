@@ -152,3 +152,19 @@ def test_windowed_validation():
         wd.windowed_from_scipy(W, chunk_rows=100, window_rows=64)
     with pytest.raises(ValueError, match='uint8'):
         wd.windowed_from_scipy(W, chunk_rows=512, window_rows=256)
+
+
+@pytest.mark.parametrize('step', [1, 2, 4])
+def test_windowed_subchunked_scan(step, monkeypatch):
+    """PYGSP_WINDOW_STEP splits the window scan; the carried borrow block
+    must make every split arithmetic-identical to the full-NW path."""
+    rng = np.random.default_rng(31)
+    W = _random_powerlaw(700, rng)
+    x = jnp.asarray(rng.normal(size=(700, 3)))
+    mat = wd.windowed_from_scipy(W, chunk_rows=256, window_rows=32)
+    want = np.asarray(mat @ x)
+    monkeypatch.setenv('PYGSP_WINDOW_STEP', str(step))
+    got = np.asarray(mat @ x)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(got, W @ np.asarray(x),
+                               rtol=1e-10, atol=1e-10)
