@@ -1,15 +1,20 @@
-"""BASELINE config 5 single-chip datapoint: K=30 Meyer filterbank on a
-100M-edge Barabási–Albert graph (N=2^22, m=24 -> 100.7M directed /
+"""BASELINE config 5 single-chip datapoint: K=30 Meyer-kernel filtering on
+a 100M-edge Barabási–Albert graph (N=2^22, m=24 -> 100.7M directed /
 ~201M stored edges) through the windowed-compact format.
 
 The intended target is multi-chip (v5p-16); this measures the largest
-single-chip result this 16 GB v5e can hold. Signal batch S and filter
-count are stepped down until a config fits: the recurrence carries
-2 state buffers + Nf accumulators of (N, S) f32 next to the ~2.2 GB
-slot arrays, so S=64/nf=4 is ~12 GB and S=128/nf=4 does not fit.
+single-chip result this 16 GB v5e can hold and documents the ceiling.
 
-Round-1 note for contrast (STATUS.md): the per-row block-chunked format
-crashed the TPU worker even at S=16.
+Memory model at N=4.2M (OOM dumps /tmp/config5*.out): every (N, S) f32
+state buffer lane-pads S up to 128 (2.15 GB each regardless of S <= 128
+— small S wastes lanes without saving memory), and the grouped Chebyshev
+accumulation holds g extra term buffers. So: run FULL S=128 lanes, one
+filter, acc group g=1, sub-chunk the windowed scan body (bounded temps),
+DONATE the input signal (generated device-side per call), and keep the
+slab values in bf16 (exact for unit weights: vals are -1).
+
+Each candidate is AOT-compiled first and its memory_analysis printed, so
+the fit/no-fit boundary is recorded even for configs never executed.
 
 Run: nohup python benchmarks/config5_100m.py > /tmp/config5.out 2>&1 &
 """
@@ -52,12 +57,56 @@ def get_graph():
     return src, tgt
 
 
+def get_layout(coo):
+    """HOST-side windowed slabs for -W, cached on disk (packing ~320 s).
+
+    Kept as numpy so each ladder candidate device_puts ONLY its own
+    value-dtype variant (a device-side astype would keep both copies
+    of the 2.2 GB slabs alive).
+    """
+    from pygsp_tpu.core import windowed as wd
+    from pygsp_tpu.core.chunked import ChunkLevel
+
+    path = os.path.join(CACHE, f'wd_{N}_{M_ATTACH}.npz')
+    if not os.path.exists(path):
+        t0 = time.time()
+        H = wd.windowed_from_host_coo(coo.row, coo.col, -coo.data, N, N,
+                                      dtype=np.float32)
+        log(f'windowed layout built in {time.time() - t0:.1f}s')
+        data = dict(cols=np.asarray(H.cols), vals=np.asarray(H.vals),
+                    rowid=np.asarray(H.rowid),
+                    level_rows=np.asarray(H.level_rows),
+                    rowptr=np.asarray(H.rowptr), nnz=H.nnz,
+                    chunk_rows=H.chunk_rows, window_rows=H.window_rows,
+                    perm=np.asarray(H.perm), iperm=np.asarray(H.iperm),
+                    n_levels=len(H.levels))
+        for i, lv in enumerate(H.levels):
+            data[f'lv{i}_cols'] = np.asarray(lv.cols)
+            data[f'lv{i}_vals'] = np.asarray(lv.vals)
+            data[f'lv{i}_src'] = lv.src_chunk
+        np.savez(path, **data)
+        del H
+    d = dict(np.load(path))
+    levels = tuple(
+        ChunkLevel(cols=d[f'lv{i}_cols'], vals=d[f'lv{i}_vals'],
+                   src_chunk=int(d[f'lv{i}_src']))
+        for i in range(int(d['n_levels'])))
+    return wd.WindowedELLMatrix(
+        cols=d['cols'], vals=d['vals'], rowid=d['rowid'], levels=levels,
+        level_rows=d['level_rows'], rowptr=d['rowptr'],
+        n_rows=N, n_cols=N, nnz=int(d['nnz']),
+        chunk_rows=int(d['chunk_rows']), window_rows=int(d['window_rows']),
+        perm=d['perm'], iperm=d['iperm'])
+
+
 def main():
     import jax
     import jax.numpy as jnp
-    from pygsp_tpu.core import windowed as wd
     from pygsp_tpu.core.operators import LaplacianOp
     from pygsp_tpu.ops import chebyshev as cheby
+
+    os.environ.setdefault('PYGSP_WINDOWED_BODY_MB', '512')
+    os.environ.setdefault('PYGSP_CHEBY_ACC_GROUP', '1')
 
     log(f'device: {jax.devices()[0]}')
     src, tgt = get_graph()
@@ -74,79 +123,87 @@ def main():
     coo = W.tocoo()
     log(f'host CSR in {time.time() - t0:.1f}s: nnz={nnz}')
 
-    t0 = time.time()
-    H = wd.windowed_from_host_coo(coo.row, coo.col, -coo.data, N, N,
-                                  dtype=np.float32)
-    build_s = time.time() - t0
-    lvl_slots = sum(int(np.prod(l.cols.shape)) for l in H.levels)
-    emit(tag='layout', L=H.cols.shape[3], slab_slots=H.n_slots,
-         level_slots=lvl_slots, level_rows=int(H.level_rows.shape[0]),
-         pad=round((H.n_slots + lvl_slots) / nnz, 3),
-         build_s=round(build_s, 1))
-    Lop = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
-                      lap_type='combinatorial')
+    Hh = get_layout(coo)       # host-side
+    lvl_slots = sum(int(np.prod(l.cols.shape)) for l in Hh.levels)
+    emit(tag='layout', L=Hh.cols.shape[3], slab_slots=Hh.n_slots,
+         level_slots=lvl_slots, pad=round((Hh.n_slots + lvl_slots) / nnz, 3))
 
-    # Meyer bank kernels: closed-form in lambda given lmax (cite
-    # reference pygsp/filters/meyer.py:41-89); evaluate via the zoo class
-    # on a tiny carrier graph with lmax pinned to the big graph's.
+    # Meyer wavelet kernel (band 1), closed-form given lmax (cite
+    # reference pygsp/filters/meyer.py:41-89); evaluated via the zoo
+    # class on a tiny carrier graph with lmax pinned to this graph's.
     import pygsp_tpu as gsp
     Gc = gsp.graphs.Ring(16)
     Gc._lmax = lmax
-
-    def make_eval(nf):
-        return gsp.filters.Meyer(Gc, Nf=nf).evaluate
+    evaluate = gsp.filters.Meyer(Gc, Nf=2).evaluate
 
     def sync(o):
         return float(jnp.sum(jnp.ravel(o)[::65537]))
 
-    # Memory model at N=4.2M (OOM dumps /tmp/config5*.out): every (N, S)
-    # f32 state buffer lane-pads S up to 128 (2.15 GB each REGARDLESS of
-    # S <= 128 — small S wastes lanes without saving memory), and the
-    # grouped Chebyshev accumulation holds g extra term buffers. So:
-    # run FULL S=128 lanes, g=1 (+1 transient buffer instead of +4),
-    # and sub-chunk the windowed scan body (inner scan, bounded temps).
-    os.environ.setdefault('PYGSP_WINDOWED_BODY_MB', '512')
-    os.environ.setdefault('PYGSP_CHEBY_ACC_GROUP', '1')
-    rng = np.random.default_rng(0)
-    for S, nf in ((128, 1), (64, 1), (32, 1)):
-        try:
-            evaluate = make_eval(max(nf, 2))
-            c = cheby.cheby_coeff(evaluate, lmax, m=K,
-                                  dtype=jnp.float32)[:nf]
-            x = jnp.asarray(rng.normal(size=(N, S)).astype(np.float32))
-            run = jax.jit(lambda L, c, x: cheby.cheby_op(L, lmax, c, x))
+    c_all = cheby.cheby_coeff(evaluate, lmax, m=K, dtype=jnp.float32)
+    x_host2 = np.random.default_rng(0).normal(
+        size=(N, 2)).astype(np.float32)   # validation columns
+
+    for S, val_dtype in ((128, jnp.bfloat16), (128, jnp.float32),
+                         (64, jnp.bfloat16)):
+        tagd = dict(S=S, nf=1, K=K, vals=str(np.dtype(val_dtype)))
+        H = Lop = compiled = None      # free the previous candidate's
+        try:                           # device arrays before uploading
+            H = jax.device_put(Hh.astype(val_dtype))
+            Lop = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
+                              lap_type='combinatorial')
+            c = c_all[:1]
+            run = jax.jit(lambda L, c, x: cheby.cheby_op(L, lmax, c, x),
+                          donate_argnums=(2,))
+            xs = jax.ShapeDtypeStruct((N, S), jnp.float32)
             t0 = time.time()
-            out = run(Lop, c, x)
-            sync(out[0])
-            comp = time.time() - t0
-            log(f'S={S} nf={nf}: compiled+ran in {comp:.1f}s')
-            # pull validation columns to host, then FREE the (nf, N, S)
-            # output before re-running — holding it doubles the
-            # live-output footprint (4.3 GB at S=64/nf=4)
+            compiled = run.lower(Lop, c, xs).compile()
+            comp_s = time.time() - t0
+            try:
+                ma = compiled.memory_analysis()
+                mem = dict(temp_gb=round(ma.temp_size_in_bytes / 2**30, 2),
+                           arg_gb=round(ma.argument_size_in_bytes / 2**30, 2),
+                           out_gb=round(ma.output_size_in_bytes / 2**30, 2))
+            except Exception as e:  # noqa: BLE001
+                mem = dict(memory_analysis=f'{type(e).__name__}')
+            emit(tag='config5_compile', compile_s=round(comp_s, 1),
+                 **tagd, **mem)
+
+            def make_x(seed):
+                z = jax.random.normal(jax.random.PRNGKey(seed), (N, S),
+                                      jnp.float32)
+                # overwrite first 2 columns with the host validation
+                # columns so the reference check has known inputs
+                return z.at[:, :2].set(jnp.asarray(x_host2))
+
+            x = jax.block_until_ready(make_x(0))
+            t0 = time.time()
+            out = compiled(Lop, c, x)
+            sync(out)
+            first_s = time.time() - t0
+            log(f'{tagd}: first run {first_s:.1f}s')
             dev = np.asarray(out[0, :, :2])
-            del out
+            del out, x
             ts = []
-            for _ in range(2):
+            for i in range(2):
+                x = jax.block_until_ready(make_x(0))
                 t0 = time.time()
-                o = run(Lop, c, x)
-                sync(o[0])
+                o = compiled(Lop, c, x)
+                sync(o)
                 ts.append(time.time() - t0)
-                del o
+                del o, x
             dt = float(np.median(ts))
-            # validate vs reference arithmetic on 2 columns
             import bench as benchmod
             cpu_eps, cpu_out = benchmod.reference_cpu_eps(
-                W, lmax, np.asarray(c), np.asarray(x)[:, :2])
+                W, lmax, np.asarray(c), x_host2)
             err = float(np.abs(dev - cpu_out).max()
                         / (np.abs(cpu_out).max() + 1e-30))
-            emit(tag='config5_bank', S=S, nf=nf, K=K, nnz=nnz,
-                 compile_s=round(comp, 1), per_bank_ms=dt * 1e3,
+            emit(tag='config5_result', nnz=nnz, per_filter_ms=dt * 1e3,
                  rel_err=err, edge_ops_per_s=K * nnz * S / dt,
-                 vs_reference_cpu=K * nnz * S / dt / cpu_eps)
+                 vs_reference_cpu=K * nnz * S / dt / cpu_eps, **tagd)
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback ladder
-            log(f'S={S} nf={nf} failed: {type(e).__name__}: {e}')
-            emit(tag='config5_fail', S=S, nf=nf, error=type(e).__name__)
+            log(f'{tagd} failed: {type(e).__name__}: {e}')
+            emit(tag='config5_fail', error=type(e).__name__, **tagd)
     log('done')
 
 

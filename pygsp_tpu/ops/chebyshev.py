@@ -138,14 +138,23 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
                 for to, tc in zip(t_old, t_cur))
 
     if m1 > 2:
-        factor = L.shifted(2.0 / a1, a2)
+        # 2/a1 * (L - a2 I) applied as: sc*(offdiag @ x) + fused-diag*x.
+        # The scalar multiplies the SpMM OUTPUT (fuses into the add
+        # epilogue) rather than the slab values — `scale_vals` on a
+        # traced scalar materializes a scaled COPY of the whole slot
+        # array in the program (~1 GB at config-5 scale, and an f32
+        # upcast of bf16 slabs). Same arithmetic order as the
+        # reference's recurrence (approximations.py:105-110).
+        sc = 2.0 / a1
         fdiag_c = ck.chunk_signal(
-            ck.permute_in(factor.offdiag, factor.diag).reshape(dshape), R)
-        fmat = factor.offdiag
+            ck.permute_in(L.offdiag, (L.diag - a2) * sc).reshape(dshape), R)
+        fmat = L.offdiag
 
         def recur(t_old, t_cur):
-            lc = lap_chunks(fdiag_c, fmat, t_cur)
-            return tuple(l - o for l, o in zip(lc, t_old))
+            yc = fmat.spmm_chunks(t_cur)
+            return tuple(fd * tk + sc * yk - to
+                         for fd, tk, yk, to in zip(fdiag_c, t_cur, yc,
+                                                   t_old))
 
         def add_acc(acc, ckk, t_new):
             return tuple(a + ckk.reshape(bshape) * t[None]
