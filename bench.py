@@ -52,6 +52,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent XLA compilation cache: the K=30 program at N=1M takes
+    # minutes to compile cold; repeat runs (driver re-runs, iteration)
+    # should pay seconds. Cache entries are environment/backend-keyed,
+    # so a stale cache is a miss, never a wrong program.
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.join(CACHE, 'xla_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    except Exception as e:  # cache support missing on some backends
+        log(f'compilation cache unavailable: {e}')
+
     src, tgt = get_graph()
     # symmetric COO (both directions), unit weights
     import scipy.sparse as sps
