@@ -339,6 +339,94 @@ def _choose_slab_width(counts: np.ndarray, window_rows: int,
     return best_L
 
 
+def _window_counts(rows, cols, is_hub, n_rows, n_cols, R, P):
+    """Per-(out chunk, src chunk, window) non-hub slot demands, reshaped
+    ``(n_out * n_src, NW)`` for :func:`_choose_slab_width` (window axis
+    last so the borrow relation sees each window's in-block predecessor).
+    ``rows``/``cols`` must already be in PACKING order (post-relabel)."""
+    NW = R // P
+    n_out = max(-(-n_rows // R), 1)
+    n_src = max(-(-n_cols // R), 1)
+    slab = ((rows // R) * n_src + cols // R) * NW + (rows % R) // P
+    counts = np.bincount(slab[~is_hub], minlength=n_out * n_src * NW)
+    return counts.reshape(n_out * n_src, NW).astype(np.float64)
+
+
+def _pack_slabs(rows, cols, vals, is_hub, n_rows, n_cols, R, P, L):
+    """Exact-pack non-hub edges into ``(n_out, NW, n_src, L)`` slabs with
+    borrowed slack (see module docstring); hub edges and window overflow
+    come back as residue COO for the level tiers.
+
+    Returns ``(cols4, vals4, rowid4, res_rows, res_cols, res_vals)``.
+    All inputs are host numpy in packing (post-relabel) order.
+    """
+    NW = R // P
+    n_out = max(-(-n_rows // R), 1)
+    n_src = max(-(-n_cols // R), 1)
+
+    i_e = rows // R
+    c_e = cols // R
+    w_e = (rows % R) // P
+    slab_e = (i_e * n_src + c_e) * NW + w_e
+    n_slabs = n_out * n_src * NW
+
+    order = np.argsort(slab_e, kind='stable')
+    rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
+    slab_s = slab_e[order]
+    hub_s = is_hub[order]
+
+    counts = np.bincount(slab_s[~hub_s], minlength=n_slabs)
+
+    nh = ~hub_s
+    rows_w, cols_w, vals_w, slab_w = (rows_s[nh], cols_s[nh], vals_s[nh],
+                                      slab_s[nh])
+    run_start = np.zeros(n_slabs + 1, np.int64)
+    np.cumsum(counts, out=run_start[1:])
+    pos = np.arange(rows_w.size, dtype=np.int64) - run_start[slab_w]
+
+    # borrow: window w's overflow may occupy the free tail of slab w-1
+    # of the SAME (out, src) block. slack_{w-1} = L - min(c_{w-1}, L);
+    # b_w = min(overflow_w, slack_{w-1}) — closed form, no recursion.
+    c2 = counts.reshape(n_out * n_src, NW)
+    used = np.minimum(c2, L)
+    slack = L - used
+    overflow = c2 - used
+    borrow = np.zeros_like(c2)
+    borrow[:, 1:] = np.minimum(overflow[:, 1:], slack[:, :-1])
+    borrow_f = borrow.ravel()
+
+    in_main = pos < L
+    in_borrow = ~in_main & (pos < L + borrow_f[slab_w])
+    in_residue = ~in_main & ~in_borrow
+
+    dest_slab = np.where(in_borrow, slab_w - 1, slab_w)
+    dest_slot = np.where(in_borrow,
+                         np.minimum(counts[np.maximum(slab_w - 1, 0)], L)
+                         + (pos - L), pos)
+    rel_row = (rows_w % P) + np.where(in_borrow, P, 0)
+
+    keep = ~in_residue
+    flat = dest_slab[keep] * L + dest_slot[keep]
+    slab_cols = np.full(n_slabs * L, R, np.int32)
+    slab_vals = np.zeros(n_slabs * L, vals.dtype)
+    slab_rowid = np.full(n_slabs * L, 2 * P - 1, np.uint8)
+    slab_cols[flat] = (cols_w[keep] % R).astype(np.int32)
+    slab_vals[flat] = vals_w[keep]
+    slab_rowid[flat] = rel_row[keep].astype(np.uint8)
+
+    # slab layout (n_out, NW, n_src, L): the SpMM stacks every src
+    # chunk's slots along the contraction axis of ONE dot per out chunk
+    def shape4(a):
+        return np.ascontiguousarray(
+            a.reshape(n_out, n_src, NW, L).transpose(0, 2, 1, 3))
+
+    res_rows = np.concatenate([rows_w[in_residue], rows_s[hub_s]])
+    res_cols = np.concatenate([cols_w[in_residue], cols_s[hub_s]])
+    res_vals = np.concatenate([vals_w[in_residue], vals_s[hub_s]])
+    return (shape4(slab_cols), shape4(slab_vals), shape4(slab_rowid),
+            res_rows, res_cols, res_vals)
+
+
 def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
                            chunk_rows: int = CHUNK_ROWS,
                            window_rows: int = WINDOW_ROWS,
@@ -407,80 +495,22 @@ def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
     elif permute not in (None, 'shuffle'):
         raise ValueError(f'Unknown permute mode {permute!r}')
 
-    # slab id per edge: (out chunk, src chunk, window-in-chunk)
-    i_e = rows // R
-    c_e = cols // R
-    w_e = (rows % R) // P
-    slab_e = (i_e * n_src + c_e) * NW + w_e
-    n_slabs = n_out * n_src * NW
-
-    order = np.argsort(slab_e, kind='stable')
-    rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
-    slab_s = slab_e[order]
-    hub_s = is_hub_edge[order]
-
-    counts = np.bincount(slab_s[~hub_s], minlength=n_slabs)
     if slab_width is None:
         L = _choose_slab_width(
-            counts.reshape(n_out * n_src, NW).astype(np.float64), P)
+            _window_counts(rows, cols, is_hub_edge, n_rows, n_cols, R, P), P)
     else:
         L = int(slab_width)
 
-    # window packing runs over NON-hub edges only
-    nh = ~hub_s
-    rows_w, cols_w, vals_w, slab_w = (rows_s[nh], cols_s[nh], vals_s[nh],
-                                      slab_s[nh])
-    run_start = np.zeros(n_slabs + 1, np.int64)
-    np.cumsum(counts, out=run_start[1:])
-    pos = np.arange(rows_w.size, dtype=np.int64) - run_start[slab_w]
-
-    # borrow: window w's overflow may occupy the free tail of slab w-1
-    # of the SAME (out, src) block. slack_{w-1} = L - min(c_{w-1}, L);
-    # b_w = min(overflow_w, slack_{w-1}) — closed form, no recursion.
-    c2 = counts.reshape(n_out * n_src, NW)
-    used = np.minimum(c2, L)
-    slack = L - used
-    overflow = c2 - used
-    borrow = np.zeros_like(c2)
-    borrow[:, 1:] = np.minimum(overflow[:, 1:], slack[:, :-1])
-    borrow_f = borrow.ravel()
-
-    in_main = pos < L
-    in_borrow = ~in_main & (pos < L + borrow_f[slab_w])
-    in_residue = ~in_main & ~in_borrow
-
-    # destination slab + slot per edge
-    dest_slab = np.where(in_borrow, slab_w - 1, slab_w)
-    dest_slot = np.where(in_borrow,
-                         np.minimum(counts[np.maximum(slab_w - 1, 0)], L)
-                         + (pos - L), pos)
-    rel_row = (rows_w % P) + np.where(in_borrow, P, 0)
-
-    keep = ~in_residue
-    flat = dest_slab[keep] * L + dest_slot[keep]
-    slab_cols = np.full(n_slabs * L, R, np.int32)
-    slab_vals = np.zeros(n_slabs * L, vals.dtype)
-    slab_rowid = np.full(n_slabs * L, 2 * P - 1, np.uint8)
-    slab_cols[flat] = (cols_w[keep] % R).astype(np.int32)
-    slab_vals[flat] = vals_w[keep]
-    slab_rowid[flat] = rel_row[keep].astype(np.uint8)
-
-    # slab layout (n_out, NW, n_src, L): the SpMM stacks every src
-    # chunk's slots along the contraction axis of ONE dot per out chunk
-    def shape4(a):
-        return np.ascontiguousarray(
-            a.reshape(n_out, n_src, NW, L).transpose(0, 2, 1, 3))
+    (cols4, vals4, rowid4, res_rows, res_cols, res_vals) = _pack_slabs(
+        rows, cols, vals, is_hub_edge, n_rows, n_cols, R, P, L)
     # residue (window spill + hub rows) -> {1, 8}-wide level tiers per
     # src chunk, wide rows split over repeated tier entries
-    res_rows = np.concatenate([rows_w[in_residue], rows_s[hub_s]])
-    res_cols = np.concatenate([cols_w[in_residue], cols_s[hub_s]])
-    res_vals = np.concatenate([vals_w[in_residue], vals_s[hub_s]])
     levels, level_rows = _pack_residue_levels(
         res_rows, res_cols, res_vals, res_cols // R, R, vals.dtype)
 
     host = WindowedELLMatrix(
-        cols=shape4(slab_cols), vals=shape4(slab_vals),
-        rowid=shape4(slab_rowid), levels=levels,
+        cols=cols4, vals=vals4,
+        rowid=rowid4, levels=levels,
         level_rows=level_rows, rowptr=rowptr.astype(np.int32),
         n_rows=int(n_rows), n_cols=int(n_cols), nnz=int(rows.size),
         chunk_rows=R, window_rows=P,

@@ -11,7 +11,9 @@ from pygsp_tpu.parallel.partition import (ShardedGraph, ShardedELL,
                                            partition_graph, shard_local_ell)
 from pygsp_tpu.parallel.sharded import (
     sharded_matvec, sharded_cheby_op, make_mesh)
+from pygsp_tpu.parallel.windowed_shards import (ShardedWindowed,
+                                                shard_local_windowed)
 
-__all__ = ['ShardedGraph', 'ShardedELL', 'partition_graph',
-           'shard_local_ell', 'sharded_matvec', 'sharded_cheby_op',
-           'make_mesh']
+__all__ = ['ShardedGraph', 'ShardedELL', 'ShardedWindowed',
+           'partition_graph', 'shard_local_ell', 'shard_local_windowed',
+           'sharded_matvec', 'sharded_cheby_op', 'make_mesh']

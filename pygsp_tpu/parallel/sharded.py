@@ -73,8 +73,20 @@ def _local_matvec(rows, cols, vals, diag, send_idx, x_local, *, n_shards,
     XLA's segment-sum scatter serializes power-law hub rows); otherwise
     gather + sorted segment-sum over the COO arrays.
     """
+    from pygsp_tpu.parallel.windowed_shards import ShardedWindowed
     recv = _halo_exchange(x_local, send_idx, dists, n_shards)
-    if isinstance(ell, tuple):
+    if isinstance(ell, ShardedWindowed):
+        x_ext = jnp.concatenate([x_local, recv], axis=0)
+        off = ell.local_spmm(x_ext)
+    elif isinstance(ell, tuple) and ell and isinstance(ell[0],
+                                                       ShardedWindowed):
+        # interior/boundary split, windowed layout: the interior fold
+        # reads only x_local — no dependency on the halo collective
+        interior, boundary = ell
+        off = interior.local_spmm(x_local)
+        x_ext = jnp.concatenate([x_local, recv], axis=0)
+        off = off + boundary.local_spmm(x_ext)
+    elif isinstance(ell, tuple):
         # interior/boundary split: the interior aggregation has NO data
         # dependency on the collective, so XLA can overlap the halo
         # all_to_all with it (SURVEY hard part #2: comm/compute overlap).

@@ -170,6 +170,58 @@ def test_sharded_ell_autodiff(problem):
 
 
 @requires_multi
+def test_sharded_windowed_matches():
+    """Windowed-compact per-shard SpMM (combined + interior/boundary split)
+    == unsharded, on a power-law graph (hub rows exercise the shared-shape
+    residue tiers)."""
+    from pygsp_tpu.parallel import shard_local_windowed
+    G = gsp.graphs.BarabasiAlbert(300, m0=4, m=4, seed=3)
+    G.estimate_lmax()
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(G.N, 4))
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[5, 20]).evaluate,
+                          G.lmax, m=10)
+    ref_mv = np.asarray(matvec(G.L, jnp.asarray(x)))
+    ref = np.asarray(cheby.cheby_op(G.L, G.lmax, c, jnp.asarray(x)))
+
+    sg = partition_graph(G.W, 4)
+    mesh = make_mesh(4, 2)
+    xp = sg.pad_signal(x)
+    for ell in (shard_local_windowed(sg),
+                shard_local_windowed(sg, split_boundary=True)):
+        y = sharded_matvec(sg, xp, mesh, ell=ell)
+        assert np.allclose(np.asarray(sg.unpad_signal(y)), ref_mv,
+                           atol=1e-10)
+        out = sharded_cheby_op(sg, G.lmax, c, xp, mesh, ell=ell)
+        got = np.stack([np.asarray(sg.unpad_signal(out[f]))
+                        for f in range(2)])
+        assert np.allclose(got, ref, atol=1e-9)
+
+
+@requires_multi
+def test_sharded_windowed_autodiff():
+    """Reverse-mode through the windowed shard fold + halo exchange."""
+    from pygsp_tpu.parallel import shard_local_windowed
+    G = gsp.graphs.BarabasiAlbert(200, m0=3, m=3, seed=9)
+    G.estimate_lmax()
+    sg = partition_graph(G.W, 4)
+    sw = shard_local_windowed(sg)
+    mesh = make_mesh(4, 2)
+    x = np.random.default_rng(1).normal(size=(G.N, 2))
+    xp = sg.pad_signal(x)
+    lmax = G.lmax
+
+    def loss(scale):
+        c = cheby.cheby_coeff(lambda lam: jnp.exp(-scale * lam / lmax)[None],
+                              lmax, m=6)
+        return jnp.sum(sharded_cheby_op(sg, lmax, c, xp, mesh, ell=sw) ** 2)
+
+    g1 = jax.grad(loss)(5.0)
+    fd = (loss(5.0 + 1e-4) - loss(5.0 - 1e-4)) / 2e-4
+    assert np.isclose(float(g1), float(fd), rtol=1e-4)
+
+
+@requires_multi
 def test_sharded_split_boundary(problem):
     """Interior/boundary-split ELL (comm/compute overlap layout) matches."""
     from pygsp_tpu.parallel import shard_local_ell
