@@ -163,12 +163,22 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
         # ACC GROUPING: the per-step accumulator update reads+writes all
         # Nf (N, S) buffers — 4 GB/step at the bench config, ~20% of the
         # step on top of the gather-bound SpMM. Running g recurrence
-        # steps per scan iteration folds g updates into one acc pass.
+        # steps per scan iteration folds g updates into one acc pass, at
+        # the cost of materializing g recurrence-term buffers per scan
+        # step. Measured on the bench graph (benchmarks/accgroup_sweep.py):
+        # g=4 -> 2557 ms/bank, g=7 -> 2484, g=14 -> 2458 (70.8% of the
+        # read roofline); g=28 exceeds device memory. Default: the
+        # largest g whose term buffers fit PYGSP_CHEBY_ACC_MB (8 GB) —
+        # 14 at the bench config (512 MB terms), 1 at config-5 scale
+        # (4.3 GB terms), capped at 14.
         rem = m1 - 2
-        g = 4 if rem >= 8 else (2 if rem >= 4 else 1)
         import os
         if os.environ.get('PYGSP_CHEBY_ACC_GROUP'):
             g = min(int(os.environ['PYGSP_CHEBY_ACC_GROUP']), max(rem, 1))
+        else:
+            term_bytes = x.size * x.dtype.itemsize
+            cap = float(os.environ.get('PYGSP_CHEBY_ACC_MB', 8192)) * 2**20
+            g = max(1, min(rem, 14, int(cap // max(term_bytes, 1))))
         for k in range(2, 2 + rem % g):      # unrolled head remainder
             t_new = recur(t_old, t_cur)
             acc = add_acc(acc, c[:, k], t_new)
