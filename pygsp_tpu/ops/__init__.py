@@ -2,13 +2,15 @@
 
 from pygsp_tpu.ops.spmm import spmm
 from pygsp_tpu.ops.chebyshev import (
-    cheby_coeff, cheby_op, cheby_rect, jackson_cheby_coeff)
+    cheby_coeff, cheby_op, cheby_op_fixed_graph, cheby_rect,
+    jackson_cheby_coeff)
 from pygsp_tpu.ops.eigen import estimate_lmax_lanczos, estimate_lmax_bounds
 from pygsp_tpu.ops.lanczos import lanczos_basis, lanczos_op
 
 __all__ = [
     'spmm',
-    'cheby_coeff', 'cheby_op', 'cheby_rect', 'jackson_cheby_coeff',
+    'cheby_coeff', 'cheby_op', 'cheby_op_fixed_graph', 'cheby_rect',
+    'jackson_cheby_coeff',
     'estimate_lmax_lanczos', 'estimate_lmax_bounds',
     'lanczos_basis', 'lanczos_op',
 ]

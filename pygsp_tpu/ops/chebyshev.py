@@ -204,6 +204,92 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
     return ck.permute_out(L.offdiag, out, axis=1)
 
 
+def cheby_op_fixed_graph(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
+    """:func:`cheby_op` with a CONSTANT-MEMORY custom VJP for training.
+
+    Plain reverse-mode through the K-step recurrence stores every
+    carried term — ``3K`` ``(N, S)`` buffers (~45 GB at the bench
+    config), which caps trainable problem sizes far below what the
+    forward pass supports. The filter bank is LINEAR in both ``x`` and
+    ``c``, so its adjoint needs no stored activations:
+
+    - ``x̄ = Σ_f Σ_k c'[f,k] T_k(L̃) ḡ_f`` — the SAME series applied to
+      the cotangent bank (the shifted operator is symmetric); computed
+      by :func:`cheby_synthesis`.
+    - ``c̄[f,k] = ⟨T_k(L̃) x, ḡ_f⟩`` (with the 0.5 factor on k=0) — one
+      fresh forward recurrence contracting each term against the
+      cotangents.
+
+    Backward cost = 2 recurrences (same as forward), backward memory =
+    O(1) recurrence state. Gradients flow to ``c`` and ``x`` ONLY: the
+    graph operator ``L`` and ``lmax`` get zero cotangents (use plain
+    :func:`cheby_op` to differentiate through graph weights). Training
+    flows that fit filter parameters (scales → coefficients) and/or
+    signals — the common case, e.g. ``__graft_entry__``'s train step —
+    keep exact gradients.
+    """
+    return _cheby_op_fg(L, lmax, c, x)
+
+
+def _zero_cotangent(p):
+    """Symbolic-zero cotangent with custom_vjp's dtype rules (float0 for
+    integer/bool leaves)."""
+    import numpy as _np
+    if jnp.issubdtype(jnp.result_type(p), jnp.inexact):
+        return jnp.zeros_like(p)
+    return _np.zeros(jnp.shape(p), dtype=jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def _cheby_op_fg(L, lmax, c, x):
+    return cheby_op(L, lmax, c, x)
+
+
+def _cheby_op_fg_fwd(L, lmax, c, x):
+    return cheby_op(L, lmax, c, x), (L, lmax, c, x)
+
+
+def _cheby_op_fg_bwd(res, g):
+    L, lmax, c, x = res
+    c_shape = jnp.shape(c)           # cotangent must match the primal rank
+    c = jnp.atleast_2d(c)
+    nf, m1 = c.shape
+    lmax = jnp.asarray(lmax, dtype=x.dtype)
+    a1 = lmax / 2
+    a2 = lmax / 2
+
+    # x̄: adjoint series on the cotangent bank, feature axis moved last
+    x_bar = cheby_synthesis(L, lmax, c, jnp.moveaxis(g, 0, -1))
+
+    # c̄: forward recurrence on x, each term contracted with every ḡ_f
+    def dot_all(t):
+        axes = tuple(range(t.ndim))
+        return jnp.tensordot(g, t, axes=(tuple(a + 1 for a in axes), axes))
+
+    t_old = x
+    t_cur = (matvec(L, x) - a2 * x) / a1
+    s0 = dot_all(t_old)
+    s1 = dot_all(t_cur)
+    if m1 > 2:
+        factor = L.shifted(2.0 / a1, a2)
+
+        def step(carry, _):
+            t_old, t_cur = carry
+            t_new = matvec(factor, t_cur) - t_old
+            return (t_cur, t_new), dot_all(t_new)
+
+        _, ss = jax.lax.scan(step, (t_old, t_cur), None, length=m1 - 2)
+        c_bar = jnp.concatenate([(0.5 * s0)[None], s1[None], ss]).T
+    else:
+        c_bar = jnp.stack([0.5 * s0, s1]).T
+    return (jax.tree_util.tree_map(_zero_cotangent, L),
+            _zero_cotangent(lmax),
+            c_bar.astype(c.dtype).reshape(c_shape), x_bar)
+
+
+_cheby_op_fg.defvjp(_cheby_op_fg_fwd, _cheby_op_fg_bwd)
+
+
 def cheby_op_intermediates(L: LaplacianOp, lmax, c, x: jax.Array):
     """Like :func:`cheby_op` but also returns every recurrence term
     ``T̃_k s`` for k = 0..m, for per-order parity validation against the

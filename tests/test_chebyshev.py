@@ -117,3 +117,34 @@ def test_lmax_estimation(logo_pair):
     Gr2 = type(Gr)()
     Gr2.estimate_lmax(method='bounds')
     assert np.isclose(G3.lmax, Gr2.lmax)
+
+
+def test_cheby_op_fixed_graph_grads(rng):
+    """Constant-memory VJP == plain autodiff for grads wrt c and x."""
+    import jax
+    G = gsp.graphs.Sensor(120, seed=2)
+    G.estimate_lmax()
+    x = jnp.asarray(rng.normal(size=(G.N, 3)))
+    g = gsp.filters.Heat(G, scale=[4.0, 9.0])
+    c = cheby.cheby_coeff(g.evaluate, G.lmax, m=12)
+    L, lmax = G.L, G.lmax
+
+    assert np.allclose(np.asarray(cheby.cheby_op(L, lmax, c, x)),
+                       np.asarray(cheby.cheby_op_fixed_graph(L, lmax, c, x)),
+                       atol=1e-12)
+
+    t = jnp.asarray(rng.normal(size=(c.shape[0], G.N, 3)))
+
+    def make(fn):
+        return jax.grad(lambda c_, x_: jnp.sum(fn(L, lmax, c_, x_) * t),
+                        argnums=(0, 1))
+
+    gc1, gx1 = make(cheby.cheby_op)(c, x)
+    gc2, gx2 = make(cheby.cheby_op_fixed_graph)(c, x)
+    assert np.allclose(np.asarray(gc1), np.asarray(gc2), atol=1e-12)
+    assert np.allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-12)
+
+    # 1-D coefficient vector keeps its primal shape in the cotangent
+    gc3 = jax.grad(lambda c_: jnp.sum(
+        cheby.cheby_op_fixed_graph(L, lmax, c_, x[:, 0]) ** 2))(c[0])
+    assert gc3.shape == c[0].shape
