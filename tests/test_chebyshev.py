@@ -148,3 +148,33 @@ def test_cheby_op_fixed_graph_grads(rng):
     gc3 = jax.grad(lambda c_: jnp.sum(
         cheby.cheby_op_fixed_graph(L, lmax, c_, x[:, 0]) ** 2))(c[0])
     assert gc3.shape == c[0].shape
+
+
+def test_cheby_op_fixed_graph_windowed(rng):
+    """Constant-memory VJP on the windowed (large-graph) operator format."""
+    import jax
+    from pygsp_tpu.core import windowed as cw
+    from pygsp_tpu.core.operators import LaplacianOp
+
+    G = gsp.graphs.BarabasiAlbert(400, m0=4, m=4, seed=5)
+    G.estimate_lmax()
+    W = G.W.tocsr()
+    dw = np.ravel(W.sum(axis=1))
+    Wneg = W.copy()
+    Wneg.data = -Wneg.data
+    H = cw.windowed_from_scipy(Wneg, chunk_rows=128, window_rows=64)
+    Lw = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
+                     lap_type='combinatorial')
+    x = jnp.asarray(rng.normal(size=(G.N, 3)))
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[4.0, 9.0]).evaluate,
+                          G.lmax, m=10)
+    t = jnp.asarray(rng.normal(size=(2, G.N, 3)))
+
+    def make(fn, L):
+        return jax.grad(lambda c_, x_: jnp.sum(fn(L, G.lmax, c_, x_) * t),
+                        argnums=(0, 1))
+
+    gc1, gx1 = make(cheby.cheby_op, G.L)(c, x)
+    gc2, gx2 = make(cheby.cheby_op_fixed_graph, Lw)(c, x)
+    assert np.allclose(np.asarray(gc1), np.asarray(gc2), atol=1e-12)
+    assert np.allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-12)
