@@ -10,10 +10,13 @@ signal/feature axis optionally sharded as data parallelism.
 from pygsp_tpu.parallel.partition import (ShardedGraph, ShardedELL,
                                            partition_graph, shard_local_ell)
 from pygsp_tpu.parallel.sharded import (
-    sharded_matvec, sharded_cheby_op, make_mesh)
+    sharded_matvec, sharded_cheby_op, sharded_cheby_op_fixed_graph,
+    sharded_cheby_synthesis, make_mesh)
 from pygsp_tpu.parallel.windowed_shards import (ShardedWindowed,
                                                 shard_local_windowed)
 
 __all__ = ['ShardedGraph', 'ShardedELL', 'ShardedWindowed',
            'partition_graph', 'shard_local_ell', 'shard_local_windowed',
-           'sharded_matvec', 'sharded_cheby_op', 'make_mesh']
+           'sharded_matvec', 'sharded_cheby_op',
+           'sharded_cheby_op_fixed_graph', 'sharded_cheby_synthesis',
+           'make_mesh']

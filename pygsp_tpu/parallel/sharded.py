@@ -205,3 +205,157 @@ def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh, ell=None):
         out_specs=ospec)
     return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, ell, c,
              lmax, x)
+
+
+def sharded_cheby_synthesis(sg: ShardedGraph, lmax, c, y, mesh: Mesh,
+                            ell=None):
+    """Synthesis on the sharded graph: per-filter signals, summed.
+
+    ``c``: (Nf, m+1); ``y``: (S*n_local, ..., Nf) — feature axis LAST.
+    Returns ``Σ_f Σ_k c[f,k] T̃_k(L) y[..., f]`` of shape (S*n_local, ...)
+    — the same math as :func:`pygsp_tpu.ops.chebyshev.cheby_synthesis`,
+    with the recurrence running Nf× wide through the halo exchange.
+    """
+    c = jnp.atleast_2d(c)
+    nf, m1 = c.shape
+    lmax = jnp.asarray(lmax, dtype=sg.dtype)
+    if y.shape[-1] != nf:
+        raise ValueError(f'last axis of y ({y.shape[-1]}) must equal the '
+                         f'number of filters ({nf})')
+
+    def body(rows, cols, vals, diag, send_idx, ell, c, lmax, y_local):
+        rows, cols, vals = rows[0], cols[0], vals[0]
+        diag = diag[0]
+        send_idx = tuple(s[0] for s in send_idx)
+        a1 = lmax / 2
+        a2 = lmax / 2
+        mv = partial(_local_matvec, rows, cols, vals, diag, send_idx,
+                     n_shards=sg.n_shards, n_local=sg.n_local,
+                     dists=sg.halo_dists, ell=ell)
+
+        t_old = y_local
+        t_cur = (mv(y_local) - a2 * y_local) / a1
+        acc = jnp.sum(0.5 * c[:, 0] * t_old + c[:, 1] * t_cur, axis=-1)
+        if m1 > 2:
+            def step(carry, ck):
+                t_old, t_cur, acc = carry
+                t_new = mv(t_cur, scale=2.0 / a1, shift=a2) - t_old
+                acc = acc + jnp.sum(ck * t_new, axis=-1)
+                return (t_cur, t_new, acc), None
+
+            (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc),
+                                          c[:, 2:].T)
+        return acc
+
+    if np.ndim(y) > 2:
+        yspec = P(*(('graph', 'batch') + (None,) * (np.ndim(y) - 2)))
+        ospec = P(*(('graph', 'batch') + (None,) * (np.ndim(y) - 3)))
+    else:
+        yspec = P('graph', None)
+        ospec = P('graph')
+    ell_spec = jax.tree.map(lambda _: P('graph'), ell)
+    send_spec = tuple(P('graph') for _ in sg.send_idx)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P('graph'), P('graph'), P('graph'), P('graph'),
+                  send_spec, ell_spec, P(), P(), yspec),
+        out_specs=ospec)
+    return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, ell, c,
+             lmax, y)
+
+
+def sharded_cheby_op_fixed_graph(sg: ShardedGraph, lmax, c, x, mesh: Mesh,
+                                 ell=None):
+    """:func:`sharded_cheby_op` with a CONSTANT-MEMORY custom VJP.
+
+    Multi-chip counterpart of
+    :func:`pygsp_tpu.ops.chebyshev.cheby_op_fixed_graph`: the bank is
+    linear in ``c`` and ``x``, so the backward pass is two fresh sharded
+    recurrences (an adjoint synthesis for x̄ — the shifted operator is
+    symmetric — and a term-contraction pass for c̄ with a global psum)
+    instead of storing the 3K per-step scan carries. Gradients flow to
+    ``c`` and ``x`` only; the partition arrays and ``lmax`` get zero
+    cotangents.
+    """
+    return _sharded_cheby_fg(mesh, sg, ell, lmax, c, x)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sharded_cheby_fg(mesh, sg, ell, lmax, c, x):
+    return sharded_cheby_op(sg, lmax, c, x, mesh, ell=ell)
+
+
+def _sharded_cheby_fg_fwd(mesh, sg, ell, lmax, c, x):
+    return (sharded_cheby_op(sg, lmax, c, x, mesh, ell=ell),
+            (sg, ell, lmax, c, x))
+
+
+def _sharded_cheby_fg_bwd(mesh, res, g):
+    from pygsp_tpu.ops.chebyshev import _zero_cotangent
+    sg, ell, lmax, c, x = res
+    c_shape = jnp.shape(c)
+    c = jnp.atleast_2d(c)
+    nf, m1 = c.shape
+    lmax_a = jnp.asarray(lmax, dtype=sg.dtype)
+
+    x_bar = sharded_cheby_synthesis(sg, lmax_a, c, jnp.moveaxis(g, 0, -1),
+                                    mesh, ell=ell)
+
+    # c̄[f,k] = <T̃_k x, ḡ_f>: one sharded forward recurrence on x, each
+    # term contracted against every cotangent bank member + global psum
+    def body(rows, cols, vals, diag, send_idx, ell, g, lmax, x_local):
+        rows, cols, vals = rows[0], cols[0], vals[0]
+        diag = diag[0]
+        send_idx = tuple(s[0] for s in send_idx)
+        a1 = lmax / 2
+        a2 = lmax / 2
+        mv = partial(_local_matvec, rows, cols, vals, diag, send_idx,
+                     n_shards=sg.n_shards, n_local=sg.n_local,
+                     dists=sg.halo_dists, ell=ell)
+
+        def dot_all(t):
+            axes = tuple(range(t.ndim))
+            s = jnp.tensordot(g, t, axes=(tuple(a + 1 for a in axes), axes))
+            s = jax.lax.psum(s, 'graph')
+            # 1-D signals are REPLICATED over 'batch' (spec has no batch
+            # axis): summing the copies would scale c̄ by n_batch
+            return jax.lax.psum(s, 'batch') if batch_sharded else s
+
+        t_old = x_local
+        t_cur = (mv(x_local) - a2 * x_local) / a1
+        s0 = dot_all(t_old)
+        s1 = dot_all(t_cur)
+        if m1 > 2:
+            def step(carry, _):
+                t_old, t_cur = carry
+                t_new = mv(t_cur, scale=2.0 / a1, shift=a2) - t_old
+                return (t_cur, t_new), dot_all(t_new)
+
+            _, ss = jax.lax.scan(step, (t_old, t_cur), None, length=m1 - 2)
+            return jnp.concatenate([(0.5 * s0)[None], s1[None], ss]).T
+        return jnp.stack([0.5 * s0, s1]).T
+
+    batch_sharded = np.ndim(x) > 1
+    if batch_sharded:
+        xspec = P('graph', 'batch')
+        gspec = P(None, 'graph', 'batch')
+    else:
+        xspec = P('graph')
+        gspec = P(None, 'graph')
+    ell_spec = jax.tree.map(lambda _: P('graph'), ell)
+    send_spec = tuple(P('graph') for _ in sg.send_idx)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P('graph'), P('graph'), P('graph'), P('graph'),
+                  send_spec, ell_spec, gspec, P(), xspec),
+        out_specs=P())
+    c_bar = f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, ell, g,
+              lmax_a, x)
+
+    return (jax.tree_util.tree_map(_zero_cotangent, sg),
+            jax.tree_util.tree_map(_zero_cotangent, ell),
+            _zero_cotangent(lmax),
+            c_bar.astype(c.dtype).reshape(c_shape), x_bar)
+
+
+_sharded_cheby_fg.defvjp(_sharded_cheby_fg_fwd, _sharded_cheby_fg_bwd)

@@ -241,3 +241,67 @@ def test_sharded_split_boundary(problem):
     ref = np.asarray(cheby.cheby_op(G.L, G.lmax, c, jnp.asarray(x)))
     got = np.stack([np.asarray(sg.unpad_signal(out[f])) for f in range(2)])
     assert np.allclose(got, ref, atol=1e-9)
+
+
+@requires_multi
+def test_sharded_fixed_graph_vjp():
+    """Constant-memory sharded VJP == plain sharded autodiff (grads wrt
+    c and x), plus sharded synthesis parity vs the single-chip op."""
+    from pygsp_tpu.parallel import (sharded_cheby_op_fixed_graph,
+                                    sharded_cheby_synthesis,
+                                    shard_local_windowed)
+    G = gsp.graphs.BarabasiAlbert(240, m0=4, m=4, seed=3)
+    G.estimate_lmax()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(G.N, 4))
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[4., 9.]).evaluate,
+                          G.lmax, m=8)
+    sg = partition_graph(G.W, 4)
+    mesh = make_mesh(4, 2)
+    xp = sg.pad_signal(x)
+    sw = shard_local_windowed(sg)
+
+    y = rng.normal(size=(G.N, 4, 2))
+    yp = np.zeros((sg.n_padded, 4, 2))
+    yp[np.asarray(sg.perm)] = y
+    syn = np.asarray(sharded_cheby_synthesis(
+        sg, G.lmax, c, jnp.asarray(yp), mesh, ell=sw))[np.asarray(sg.perm)]
+    ref_syn = np.asarray(cheby.cheby_synthesis(G.L, G.lmax, c,
+                                               jnp.asarray(y)))
+    assert np.allclose(syn, ref_syn, atol=1e-10)
+
+    o1 = sharded_cheby_op(sg, G.lmax, c, xp, mesh, ell=sw)
+    t = jnp.asarray(rng.normal(size=o1.shape))
+
+    def make(fn):
+        return jax.grad(lambda c_, x_: jnp.sum(
+            fn(sg, G.lmax, c_, x_, mesh, ell=sw) * t), argnums=(0, 1))
+
+    gc1, gx1 = make(sharded_cheby_op)(c, xp)
+    gc2, gx2 = make(sharded_cheby_op_fixed_graph)(c, xp)
+    assert np.allclose(np.asarray(gc1), np.asarray(gc2), atol=1e-12)
+    assert np.allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-12)
+
+
+@requires_multi
+def test_sharded_fixed_graph_vjp_1d():
+    """1-D signals are replicated over 'batch': the c-bar inner product
+    must NOT psum the replicas (regression for the n_batch scaling bug)."""
+    from pygsp_tpu.parallel import sharded_cheby_op_fixed_graph
+    G = gsp.graphs.Sensor(120, seed=2)
+    G.estimate_lmax()
+    rng = np.random.default_rng(1)
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=5.).evaluate,
+                          G.lmax, m=6)
+    sg = partition_graph(G.W, 4)
+    mesh = make_mesh(4, 2)
+    x1 = sg.pad_signal(rng.normal(size=G.N))
+    t1 = jnp.asarray(rng.normal(size=(1, sg.n_padded)))
+
+    def make(fn):
+        return jax.grad(lambda c_: jnp.sum(
+            fn(sg, G.lmax, c_, x1, mesh) * t1))
+
+    gc1 = make(sharded_cheby_op)(c)
+    gc2 = make(sharded_cheby_op_fixed_graph)(c)
+    assert np.allclose(np.asarray(gc1), np.asarray(gc2), atol=1e-12)
