@@ -427,8 +427,29 @@ def _pack_slabs(rows, cols, vals, is_hub, n_rows, n_cols, R, P, L):
             res_rows, res_cols, res_vals)
 
 
+def auto_chunk_rows(nnz: int, n_rows: int, n_cols: int,
+                    window_rows: int = WINDOW_ROWS) -> int:
+    """Source-chunk size targeting window slot demand λ_w ≈ 64 (L ≈ 72).
+
+    Probe-backed block-shape rule
+    (``benchmarks/windowed_chunkrows_probe.py`` on this chip): the slab
+    gathers run at full rate when the per-(window, src chunk) demand
+    ``λ_w = P·deg/n_src`` sits near 64 — slab width then lands at ~72.
+    Too few src chunks make the slabs WIDE and the SpMM 1.6–2.6x slower
+    at the SAME slot count and padding (L=280 at N=2^18: 1.53e10
+    edge-ops/s; L=144 at N=2^19: 1.05e10; L=72 via smaller chunks:
+    2.5–2.7e10). Capped at the 2^16-row gather cliff, floored at 4·P.
+    """
+    P = int(window_rows)
+    deg = nnz / max(n_rows, 1)
+    n_src_t = max(1, int(round(P * deg / 64.0)))
+    R = -(-n_cols // n_src_t)
+    R = -(-R // P) * P
+    return int(max(4 * P, min(CHUNK_ROWS, R)))
+
+
 def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
-                           chunk_rows: int = CHUNK_ROWS,
+                           chunk_rows: int | None = None,
                            window_rows: int = WINDOW_ROWS,
                            slab_width: int | None = None,
                            hub_degree: int | None = None,
@@ -464,8 +485,10 @@ def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
         vals = vals.astype(dtype)
     if not np.issubdtype(vals.dtype, np.floating):
         vals = vals.astype(np.float64)
-    R = int(chunk_rows)
     P = int(window_rows)
+    if chunk_rows is None:
+        chunk_rows = auto_chunk_rows(rows.size, n_rows, n_cols, P)
+    R = int(chunk_rows)
     if R % P:
         raise ValueError(f'chunk_rows ({R}) must be a multiple of '
                          f'window_rows ({P})')
@@ -575,7 +598,7 @@ def _pack_residue_levels(rrows, rcols, rvals, rchunk, R, vdtype):
 
 
 def windowed_from_scipy(mat, *, dtype=None,
-                        chunk_rows: int = CHUNK_ROWS,
+                        chunk_rows: int | None = None,
                         window_rows: int = WINDOW_ROWS,
                         slab_width: int | None = None,
                         hub_degree: int | None = None,

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pygsp_tpu.core.chunked import CHUNK_ROWS, ChunkLevel
+from pygsp_tpu.core.chunked import ChunkLevel
 from pygsp_tpu.core.windowed import (WINDOW_ROWS, WindowedELLMatrix,
                                      _WIDE_TIER, _choose_slab_width,
                                      _pack_slabs, _window_counts,
@@ -225,8 +225,10 @@ def _build(sg, parts, n_ext, window_rows, chunk_rows, slab_width,
     n_local = sg.n_local
     P = int(window_rows)
     if chunk_rows is None:
-        R = (CHUNK_ROWS if max(n_ext, n_local) > CHUNK_ROWS
-             else _round_up(max(n_ext, n_local, P), P))
+        from pygsp_tpu.core.windowed import auto_chunk_rows
+        nnz_est = sum(int(p[0].size) for p in parts)
+        R = auto_chunk_rows(max(nnz_est // max(S, 1), 1), n_local,
+                            max(n_ext, n_local), P)
     else:
         R = int(chunk_rows)
     if R % P:
