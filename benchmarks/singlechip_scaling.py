@@ -19,9 +19,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 K_ORDER = 30
 SCALES = [5.0, 10.0, 25.0, 50.0]
-# (N, S): the 2^21 config drops to S=64 — at S=128 its working set
-# (1 GB terms, 4 GB accumulators, slabs) exceeds the 16 GB chip
-SIZES = [(1 << 18, 128), (1 << 19, 128), (1 << 20, 128), (1 << 21, 64)]
+# (N, S, acc_group): 2^21 pins the accumulator grouping to 1 — its
+# 4 GB accumulators + 3 GB recurrence state leave no room for grouped
+# term buffers (S=64 is no escape: 64-lane arrays pad 2x on the
+# (8, 128) tiling, measured 27% fragmentation)
+SIZES = [(1 << 18, 128, None), (1 << 19, 128, None),
+         (1 << 20, 128, None), (1 << 21, 128, 1)]
 
 
 def log(*a):
@@ -51,7 +54,11 @@ def main():
         return float(jnp.sum(o[0, ::4096, 0]))
 
     results = []
-    for N, n_signals in SIZES:
+    for N, n_signals, acc_group in SIZES:
+        if acc_group is None:
+            os.environ.pop('PYGSP_CHEBY_ACC_GROUP', None)
+        else:
+            os.environ['PYGSP_CHEBY_ACC_GROUP'] = str(acc_group)
         path = os.path.join(cache, f'bafast_{N}_8.npz')
         if os.path.exists(path):
             with np.load(path) as d:

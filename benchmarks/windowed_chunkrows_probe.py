@@ -20,8 +20,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 K_ORDER = 30
 N_SIGNALS = 128
 SCALES = [5.0, 10.0, 25.0, 50.0]
-CASES = [(1 << 19, 1 << 16), (1 << 19, 1 << 15), (1 << 19, 1 << 14),
-         (1 << 18, 1 << 16), (1 << 18, 1 << 14)]
+# (N, chunk_rows, window_rows): round 2 established λ_w ≈ 64 as the
+# fast shape; the P=128 rows test whether halving the gather operand
+# (R=2^15) while holding λ_w at 64 via wider windows buys more
+CASES = [(1 << 20, 1 << 15, 128), (1 << 20, 1 << 16, 128)]
+# measured 2026-08-18 (P=64 rows; the λ_w ≈ 64 evidence):
+#  N=2^19 R=2^16: L=144 n_src=8  1.05e10 | R=2^15: L=72 n_src=16 2.72e10
+#  N=2^19 R=2^14: L=40  n_src=32 2.31e10
+#  N=2^18 R=2^16: L=280 n_src=4  1.53e10 | R=2^14: L=72 n_src=16 2.53e10
 
 
 def log(*a):
@@ -50,7 +56,7 @@ def main():
         return float(jnp.sum(o[0, ::4096, 0]))
 
     graphs = {}
-    for N, R in CASES:
+    for N, R, P in CASES:
         if N not in graphs:
             with np.load(os.path.join(cache, f'bafast_{N}_8.npz')) as d:
                 src, tgt = d['src'], d['tgt']
@@ -68,7 +74,7 @@ def main():
         Wneg = W.copy()
         Wneg.data = -Wneg.data
         H = core_windowed.windowed_from_scipy(Wneg, dtype=np.float32,
-                                              chunk_rows=R)
+                                              chunk_rows=R, window_rows=P)
         L = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
                         lap_type='combinatorial')
         pad = H.n_slots / nnz
@@ -96,7 +102,8 @@ def main():
             times.append((time.time() - t0) / 3)
         dt = float(np.median(times))
         print(json.dumps({
-            'N': N, 'chunk_rows': R, 'L': int(H.cols.shape[3]),
+            'N': N, 'chunk_rows': R, 'window_rows': P,
+            'L': int(H.cols.shape[3]),
             'n_src': int(H.cols.shape[2]), 'pad': round(pad, 3),
             'ms': dt * 1e3,
             'edge_ops_s': K_ORDER * nnz * N_SIGNALS / dt,
