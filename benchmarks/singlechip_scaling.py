@@ -19,12 +19,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 K_ORDER = 30
 SCALES = [5.0, 10.0, 25.0, 50.0]
-# (N, S, acc_group): 2^21 pins the accumulator grouping to 1 — its
-# 4 GB accumulators + 3 GB recurrence state leave no room for grouped
-# term buffers (S=64 is no escape: 64-lane arrays pad 2x on the
-# (8, 128) tiling, measured 27% fragmentation)
+# (N, S, acc_group). N=2^21 at S=128 does NOT fit this 16 GB chip in
+# the plain path even with acc_group=1 (4.3 GB accumulators + 3.2 GB
+# recurrence state + temps; S=64 is no escape — 64-lane arrays pad 2x
+# on the (8,128) tiling with 27% fragmentation). The large-N datapoint
+# comes from benchmarks/config5_100m.py instead (201M stored edges via
+# bf16 slabs + donated signals: 1.31e10 edge-ops/s).
 SIZES = [(1 << 18, 128, None), (1 << 19, 128, None),
-         (1 << 20, 128, None), (1 << 21, 128, 1)]
+         (1 << 20, 128, None)]
 
 
 def log(*a):

@@ -340,25 +340,29 @@ def _choose_slab_width(counts: np.ndarray, window_rows: int,
 
 
 def _window_counts(rows, cols, is_hub, n_rows, n_cols, R, P):
-    """Per-(out chunk, src chunk, window) non-hub slot demands, reshaped
-    ``(n_out * n_src, NW)`` for :func:`_choose_slab_width` (window axis
-    last so the borrow relation sees each window's in-block predecessor).
-    ``rows``/``cols`` must already be in PACKING order (post-relabel)."""
+    """Per-(out chunk, src chunk, window) non-hub slot demands, flat
+    int64 of length ``n_out*n_src*NW``. Reshape to ``(n_out*n_src, NW)``
+    for :func:`_choose_slab_width` (window axis last so the borrow
+    relation sees each window's in-block predecessor); pass through to
+    :func:`_pack_slabs` to avoid recounting. ``rows``/``cols`` must
+    already be in PACKING order (post-relabel)."""
     NW = R // P
     n_out = max(-(-n_rows // R), 1)
     n_src = max(-(-n_cols // R), 1)
     slab = ((rows // R) * n_src + cols // R) * NW + (rows % R) // P
-    counts = np.bincount(slab[~is_hub], minlength=n_out * n_src * NW)
-    return counts.reshape(n_out * n_src, NW).astype(np.float64)
+    return np.bincount(slab[~is_hub], minlength=n_out * n_src * NW)
 
 
-def _pack_slabs(rows, cols, vals, is_hub, n_rows, n_cols, R, P, L):
+def _pack_slabs(rows, cols, vals, is_hub, n_rows, n_cols, R, P, L,
+                counts=None):
     """Exact-pack non-hub edges into ``(n_out, NW, n_src, L)`` slabs with
     borrowed slack (see module docstring); hub edges and window overflow
     come back as residue COO for the level tiers.
 
     Returns ``(cols4, vals4, rowid4, res_rows, res_cols, res_vals)``.
-    All inputs are host numpy in packing (post-relabel) order.
+    All inputs are host numpy in packing (post-relabel) order. ``counts``
+    (optional) is :func:`_window_counts`'s output, forwarded to skip the
+    recount on 100M-edge-scale builds.
     """
     NW = R // P
     n_out = max(-(-n_rows // R), 1)
@@ -375,7 +379,8 @@ def _pack_slabs(rows, cols, vals, is_hub, n_rows, n_cols, R, P, L):
     slab_s = slab_e[order]
     hub_s = is_hub[order]
 
-    counts = np.bincount(slab_s[~hub_s], minlength=n_slabs)
+    if counts is None:
+        counts = np.bincount(slab_s[~hub_s], minlength=n_slabs)
 
     nh = ~hub_s
     rows_w, cols_w, vals_w, slab_w = (rows_s[nh], cols_s[nh], vals_s[nh],
@@ -445,7 +450,10 @@ def auto_chunk_rows(nnz: int, n_rows: int, n_cols: int,
     n_src_t = max(1, int(round(P * deg / 64.0)))
     R = -(-n_cols // n_src_t)
     R = -(-R // P) * P
-    return int(max(4 * P, min(CHUNK_ROWS, R)))
+    # the cliff cap must itself be a multiple of P (e.g. P=48 does not
+    # divide 2^16; returning a non-multiple fails builder validation)
+    cap = max(CHUNK_ROWS // P, 4) * P
+    return int(max(4 * P, min(cap, R)))
 
 
 def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
@@ -518,14 +526,16 @@ def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
     elif permute not in (None, 'shuffle'):
         raise ValueError(f'Unknown permute mode {permute!r}')
 
+    counts = _window_counts(rows, cols, is_hub_edge, n_rows, n_cols, R, P)
     if slab_width is None:
         L = _choose_slab_width(
-            _window_counts(rows, cols, is_hub_edge, n_rows, n_cols, R, P), P)
+            counts.reshape(-1, R // P).astype(np.float64), P)
     else:
         L = int(slab_width)
 
     (cols4, vals4, rowid4, res_rows, res_cols, res_vals) = _pack_slabs(
-        rows, cols, vals, is_hub_edge, n_rows, n_cols, R, P, L)
+        rows, cols, vals, is_hub_edge, n_rows, n_cols, R, P, L,
+        counts=counts)
     # residue (window spill + hub rows) -> {1, 8}-wide level tiers per
     # src chunk, wide rows split over repeated tier entries
     levels, level_rows = _pack_residue_levels(

@@ -168,17 +168,23 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
         # step. Measured on the bench graph (benchmarks/accgroup_sweep.py):
         # g=4 -> 2557 ms/bank, g=7 -> 2484, g=14 -> 2458 (70.8% of the
         # read roofline); g=28 exceeds device memory. Default: the
-        # largest g whose term buffers fit PYGSP_CHEBY_ACC_MB (8 GB) —
-        # 14 at the bench config (512 MB terms), 1 at config-5 scale
-        # (4.3 GB terms), capped at 14.
+        # largest g fitting the device budget PYGSP_CHEBY_DEVICE_MB
+        # (12 GB of the 16 GB chip, leaving headroom for fold temps)
+        # after the slot slabs, the Nf accumulators and the recurrence
+        # buffers — g=14 at the bench config (512 MB terms), shrinking
+        # automatically as N*S grows (g=3 at N=2^21, 1 at config-5).
         rem = m1 - 2
         import os
         if os.environ.get('PYGSP_CHEBY_ACC_GROUP'):
             g = min(int(os.environ['PYGSP_CHEBY_ACC_GROUP']), max(rem, 1))
         else:
-            term_bytes = x.size * x.dtype.itemsize
-            cap = float(os.environ.get('PYGSP_CHEBY_ACC_MB', 8192)) * 2**20
-            g = max(1, min(rem, 14, int(cap // max(term_bytes, 1))))
+            term_bytes = max(x.size * x.dtype.itemsize, 1)
+            slab_bytes = sum(l.size * l.dtype.itemsize
+                             for l in jax.tree_util.tree_leaves(L.offdiag))
+            budget = float(os.environ.get('PYGSP_CHEBY_DEVICE_MB',
+                                          12288)) * 2**20
+            avail = budget - slab_bytes - (nf + 4) * term_bytes
+            g = max(1, min(rem, 14, int(avail // term_bytes)))
         for k in range(2, 2 + rem % g):      # unrolled head remainder
             t_new = recur(t_old, t_cur)
             acc = add_acc(acc, c[:, k], t_new)
@@ -259,9 +265,18 @@ def _cheby_op_fg_bwd(res, g):
     a2 = lmax / 2
 
     # x̄: adjoint series on the cotangent bank, feature axis moved last
+    # (cheby_synthesis dispatches to the chunked hot path itself)
     x_bar = cheby_synthesis(L, lmax, c, jnp.moveaxis(g, 0, -1))
 
     # c̄: forward recurrence on x, each term contracted with every ḡ_f
+    from pygsp_tpu.core.chunked import ChunkedELLMatrix
+    from pygsp_tpu.core.windowed import WindowedELLMatrix
+    if isinstance(L.offdiag, (ChunkedELLMatrix, WindowedELLMatrix)):
+        c_bar = _cheby_coeff_grads_chunked(L, lmax, m1, x, g)
+        return (jax.tree_util.tree_map(_zero_cotangent, L),
+                _zero_cotangent(lmax),
+                c_bar.astype(c.dtype).reshape(c_shape), x_bar)
+
     def dot_all(t):
         axes = tuple(range(t.ndim))
         return jnp.tensordot(g, t, axes=(tuple(a + 1 for a in axes), axes))
@@ -389,6 +404,10 @@ def cheby_synthesis(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
     if x.shape[-1] != nf:
         raise ValueError(f'last axis of x ({x.shape[-1]}) must equal the '
                          f'number of filters ({nf})')
+    from pygsp_tpu.core.chunked import ChunkedELLMatrix
+    from pygsp_tpu.core.windowed import WindowedELLMatrix
+    if isinstance(L.offdiag, (ChunkedELLMatrix, WindowedELLMatrix)):
+        return _cheby_synthesis_chunked(L, lmax, c, x)
     lmax = jnp.asarray(lmax, dtype=x.dtype)
     a1 = lmax / 2
     a2 = lmax / 2
@@ -410,3 +429,94 @@ def cheby_synthesis(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
 
     (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc), c[:, 2:].T)
     return acc
+
+
+def _chunked_recurrence(L: LaplacianOp, lmax, x, dtype=None):
+    """Shared setup for chunked-format recurrences: hoisted entry
+    permute, chunked signal/diag tuples, and a ``recur`` closure that
+    applies ``2/a1 (L − a2 I)·t − t_old`` with the scalar on the SpMM
+    OUTPUT (``scale_vals`` on a traced scalar would materialize a scaled
+    copy of the whole slot array — see :func:`_cheby_op_chunked`)."""
+    from pygsp_tpu.core import chunked as ck
+
+    lmax = jnp.asarray(lmax, dtype=dtype or x.dtype)
+    a1 = lmax / 2
+    a2 = lmax / 2
+    R = L.offdiag.chunk_rows
+    dshape = (-1,) + (1,) * (x.ndim - 1)
+    diag_c = ck.chunk_signal(
+        ck.permute_in(L.offdiag, L.diag).reshape(dshape), R)
+    xc = ck.chunk_signal(ck.permute_in(L.offdiag, x), R)
+    sc = 2.0 / a1
+    fdiag_c = ck.chunk_signal(
+        ck.permute_in(L.offdiag, (L.diag - a2) * sc).reshape(dshape), R)
+    fmat = L.offdiag
+
+    t_old = xc
+    yc0 = fmat.spmm_chunks(xc)
+    t_cur = tuple((d * xk + yk - a2 * xk) / a1
+                  for d, xk, yk in zip(diag_c, xc, yc0))
+
+    def recur(t_old, t_cur):
+        yc = fmat.spmm_chunks(t_cur)
+        return tuple(fd * tk + sc * yk - to
+                     for fd, tk, yk, to in zip(fdiag_c, t_cur, yc, t_old))
+
+    return t_old, t_cur, recur
+
+
+def _cheby_synthesis_chunked(L: LaplacianOp, lmax, c, x: jax.Array):
+    """:func:`cheby_synthesis` on chunked/windowed operators: the same
+    hot-path recurrence as :func:`_cheby_op_chunked` (chunk-tuple carry,
+    hoisted permutes), with the per-step accumulation contracting the
+    trailing filter axis instead of broadcasting one."""
+    from pygsp_tpu.core import chunked as ck
+
+    nf, m1 = c.shape
+    t_old, t_cur, recur = _chunked_recurrence(L, lmax, x)
+    acc = tuple(jnp.sum(0.5 * c[:, 0] * to + c[:, 1] * tc, axis=-1)
+                for to, tc in zip(t_old, t_cur))
+    if m1 > 2:
+        def step(carry, ck_row):
+            t_old, t_cur, acc = carry
+            t_new = recur(t_old, t_cur)
+            acc = tuple(a + jnp.sum(ck_row * t, axis=-1)
+                        for a, t in zip(acc, t_new))
+            return (t_cur, t_new, acc), None
+
+        (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc),
+                                      c[:, 2:].T)
+    out = acc[0] if len(acc) == 1 else jnp.concatenate(acc)
+    return ck.permute_out(L.offdiag, out)
+
+
+def _cheby_coeff_grads_chunked(L: LaplacianOp, lmax, m1, x, g):
+    """``c̄[f,k] = ⟨T̃_k x, ḡ_f⟩`` on chunked/windowed operators: one
+    hot-path recurrence on ``x``, contracting every term against the
+    (once-permuted, chunked) cotangent bank."""
+    from pygsp_tpu.core import chunked as ck
+
+    R = L.offdiag.chunk_rows
+    gp = ck.permute_in(L.offdiag, jnp.moveaxis(g, 0, -1))  # (N, ..., Nf)
+    gc = ck.chunk_signal(gp, R)
+
+    def dot_all(t_chunks):
+        s = 0
+        for tk, gk in zip(t_chunks, gc):
+            axes = tuple(range(tk.ndim))
+            s = s + jnp.tensordot(gk, tk,
+                                  axes=(axes, axes))     # (Nf,) via last
+        return s
+
+    t_old, t_cur, recur = _chunked_recurrence(L, lmax, x)
+    s0 = dot_all(t_old)
+    s1 = dot_all(t_cur)
+    if m1 > 2:
+        def step(carry, _):
+            t_old, t_cur = carry
+            t_new = recur(t_old, t_cur)
+            return (t_cur, t_new), dot_all(t_new)
+
+        _, ss = jax.lax.scan(step, (t_old, t_cur), None, length=m1 - 2)
+        return jnp.concatenate([(0.5 * s0)[None], s1[None], ss]).T
+    return jnp.stack([0.5 * s0, s1]).T

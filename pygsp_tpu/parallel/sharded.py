@@ -81,11 +81,13 @@ def _local_matvec(rows, cols, vals, diag, send_idx, x_local, *, n_shards,
     elif isinstance(ell, tuple) and ell and isinstance(ell[0],
                                                        ShardedWindowed):
         # interior/boundary split, windowed layout: the interior fold
-        # reads only x_local — no dependency on the halo collective
+        # reads only x_local — no dependency on the halo collective —
+        # and the boundary fold reads only the received halo block
+        # (its columns are rebased to [0, halo_total) at build)
         interior, boundary = ell
         off = interior.local_spmm(x_local)
-        x_ext = jnp.concatenate([x_local, recv], axis=0)
-        off = off + boundary.local_spmm(x_ext)
+        if boundary.nnz:
+            off = off + boundary.local_spmm(recv)
     elif isinstance(ell, tuple):
         # interior/boundary split: the interior aggregation has NO data
         # dependency on the collective, so XLA can overlap the halo

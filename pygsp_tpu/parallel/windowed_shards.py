@@ -39,7 +39,7 @@ from pygsp_tpu.core.windowed import (WINDOW_ROWS, WindowedELLMatrix,
                                      _WIDE_TIER, _choose_slab_width,
                                      _pack_slabs, _window_counts,
                                      windowed_spmm)
-from pygsp_tpu.parallel.partition import ShardedGraph, _round_up
+from pygsp_tpu.parallel.partition import ShardedGraph
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -91,8 +91,7 @@ class ShardedWindowed:
         return windowed_spmm(mat, x)
 
 
-def _fixed_residue_tiers(per_shard_residue, R, n_src, n_local, vdtype,
-                         window_rows, n_out_rows):
+def _fixed_residue_tiers(per_shard_residue, R, n_src, vdtype, n_out_rows):
     """Pack every shard's residue COO into SHARED-shape level tiers.
 
     ``per_shard_residue``: list over shards of ``(rows, cols, vals)``
@@ -198,16 +197,22 @@ def shard_local_windowed(sg: ShardedGraph, *,
     vals = np.asarray(sg.vals)
 
     if split_boundary:
-        def filtered(col_mask_fn, ncols):
+        def filtered(col_mask_fn, col_base, ncols):
             parts = []
             for s in range(sg.n_shards):
                 real = rows[s] < n_local
                 keep = real & col_mask_fn(cols[s])
-                parts.append((rows[s][keep], cols[s][keep], vals[s][keep]))
+                parts.append((rows[s][keep], cols[s][keep] - col_base,
+                              vals[s][keep]))
             return parts, ncols
-        interior = _build(sg, *filtered(lambda c: c < n_local, n_local),
+        interior = _build(sg, *filtered(lambda c: c < n_local, 0, n_local),
                           window_rows, chunk_rows, slab_width, hub_degree)
-        boundary = _build(sg, *filtered(lambda c: c >= n_local, n_ext),
+        # boundary columns REBASED to the halo receive block [0,
+        # halo_total): its SpMM applies to ``recv`` directly, so the
+        # slabs span only halo chunks instead of wasting gathers on
+        # n_local's worth of dead interior chunks
+        boundary = _build(sg, *filtered(lambda c: c >= n_local, n_local,
+                                        max(sg.halo_total, 1)),
                           window_rows, chunk_rows, slab_width, hub_degree)
         return interior, boundary
 
@@ -254,25 +259,25 @@ def _build(sg, parts, n_ext, window_rows, chunk_rows, slab_width,
         deg = (np.bincount(r, minlength=n_local) if r.size
                else np.zeros(n_local, np.int64))
         is_hub = deg[r] >= hub_degree
-        shard_data.append((r, c, v, is_hub))
-        all_counts.append(_window_counts(r, c, is_hub, n_local, n_ext,
-                                         R, P))
+        counts = _window_counts(r, c, is_hub, n_local, n_ext, R, P)
+        shard_data.append((r, c, v, is_hub, counts))
+        all_counts.append(counts.reshape(-1, R // P).astype(np.float64))
     if slab_width is None:
         L = _choose_slab_width(np.concatenate(all_counts, axis=0), P)
     else:
         L = int(slab_width)
 
     cols4, vals4, rowid4, residue = [], [], [], []
-    for r, c, v, is_hub in shard_data:
+    for r, c, v, is_hub, counts in shard_data:
         c4, v4, r4, rr, rc, rv = _pack_slabs(r, c, v, is_hub, n_local,
-                                             n_ext, R, P, L)
+                                             n_ext, R, P, L, counts=counts)
         cols4.append(c4)
         vals4.append(v4)
         rowid4.append(r4)
         residue.append((rr, rc, rv))
 
     lvl_cols, lvl_vals, level_rows, lvl_src = _fixed_residue_tiers(
-        residue, R, n_src, n_local, vdtype, P, n_out * NW * P)
+        residue, R, n_src, vdtype, n_out * NW * P)
 
     host = ShardedWindowed(
         cols=np.stack(cols4), vals=np.stack(vals4),
