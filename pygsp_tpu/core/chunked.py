@@ -472,3 +472,45 @@ def chunked_from_scipy(mat, *, dtype=None, permute: str | None = None,
                                  coo.shape[0], coo.shape[1],
                                  chunk_rows=chunk_rows, permute=permute,
                                  dtype=dtype)
+
+
+def chunked_to_scipy(mat: ChunkedELLMatrix):
+    """Export back to scipy CSR: unpack the block slabs and level tiers
+    (dropping local-col sentinel padding) and invert the degree-sort
+    relabeling (``A' = A[perm][:, perm]`` → original ids ``perm[r]``)."""
+    import scipy.sparse as sps
+    R = mat.chunk_rows
+    rows_l, cols_l, vals_l = [], [], []
+
+    def emit(grows, lcols, vals, src_chunk):
+        lcols = lcols.ravel()
+        vals = vals.ravel()
+        keep = lcols < mat.src_chunk_size(src_chunk)
+        rows_l.append(grows[keep])
+        cols_l.append(lcols[keep].astype(np.int64) + src_chunk * R)
+        vals_l.append(vals[keep])
+
+    for (i, c), blk in zip(mat.block_keys, mat.blocks):
+        co = np.asarray(blk.cols)
+        if co.size == 0:
+            continue
+        grows = np.repeat(np.arange(co.shape[0], dtype=np.int64) + i * R,
+                          co.shape[1])
+        emit(grows, co, np.asarray(blk.vals), c)
+
+    lr = np.asarray(mat.level_rows, dtype=np.int64)
+    off = 0
+    for lev in mat.levels:
+        co = np.asarray(lev.cols)
+        grows = np.repeat(lr[off:off + co.shape[0]], co.shape[1])
+        off += co.shape[0]
+        emit(grows, co, np.asarray(lev.vals), lev.src_chunk)
+
+    rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
+    cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
+    vals = (np.concatenate(vals_l) if vals_l
+            else np.zeros(0, np.asarray(mat.dtype).dtype))
+    if mat.perm is not None:
+        p = np.asarray(mat.perm, dtype=np.int64)
+        rows, cols = p[rows], p[cols]
+    return sps.csr_matrix((vals, (rows, cols)), shape=mat.shape)

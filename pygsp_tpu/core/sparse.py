@@ -189,9 +189,26 @@ def from_dense(arr, *, dtype=None, edge_block: int = EDGE_BLOCK) -> CSRMatrix:
                     dtype=dtype, edge_block=edge_block)
 
 
-def to_scipy(mat: CSRMatrix):
-    """Export to scipy CSR (drops padding by the ``rows < n_rows`` mask)."""
+def to_scipy(mat):
+    """Export any storage format back to scipy CSR.
+
+    Padding slots are dropped by their sentinel masks (row ``==
+    n_rows`` / col ``== n_cols`` for COO/ELL; local col ``>= src chunk
+    size`` for the chunked/windowed slabs), and the degree-sort /
+    shuffle relabelings of the chunked formats are inverted, so the
+    result equals the matrix the builder consumed. Mirrors the
+    reference's ``G.W``/``G.L`` always being scipy (graph.py:117)."""
     import scipy.sparse as sps
+    if isinstance(mat, ELLMatrix):
+        return _ell_to_scipy(mat)
+    if isinstance(mat, BandedMatrix):
+        return _banded_to_scipy(mat)
+    if type(mat).__name__ == 'ChunkedELLMatrix':
+        from pygsp_tpu.core import chunked  # local: chunked imports sparse
+        return chunked.chunked_to_scipy(mat)
+    if type(mat).__name__ == 'WindowedELLMatrix':
+        from pygsp_tpu.core import windowed
+        return windowed.windowed_to_scipy(mat)
     rows = np.asarray(mat.rows)
     keep = rows < mat.n_rows
     rows = rows[keep]
@@ -200,8 +217,41 @@ def to_scipy(mat: CSRMatrix):
     return sps.csr_matrix((vals, (rows, cols)), shape=mat.shape)
 
 
-def to_dense(mat: CSRMatrix) -> jax.Array:
+def _ell_to_scipy(mat: 'ELLMatrix'):
+    import scipy.sparse as sps
+    parts = []
+    co = np.asarray(mat.ell_cols)
+    rows0 = np.repeat(np.arange(co.shape[0]), co.shape[1])
+    parts.append((rows0, co.ravel(), np.asarray(mat.ell_vals).ravel()))
+    for lev in mat.levels:
+        lc = np.asarray(lev.cols)
+        parts.append((np.repeat(np.asarray(lev.rows), lc.shape[1]),
+                      lc.ravel(), np.asarray(lev.vals).ravel()))
+    rows = np.concatenate([p[0] for p in parts])
+    cols = np.concatenate([p[1] for p in parts])
+    vals = np.concatenate([p[2] for p in parts])
+    keep = (rows < mat.n_rows) & (cols < mat.n_cols)
+    return sps.csr_matrix((vals[keep], (rows[keep], cols[keep])),
+                          shape=mat.shape)
+
+
+def _banded_to_scipy(mat: 'BandedMatrix'):
+    import scipy.sparse as sps
+    tiles = np.asarray(mat.tiles)          # (nb, 2*half_bw+1, 128, 128)
+    nb, ndiag, tr, tc = tiles.shape
+    dense = np.zeros((nb * tr, nb * tc), tiles.dtype)
+    for i in range(nb):
+        for d in range(ndiag):
+            j = i + d - mat.half_bw
+            if 0 <= j < nb:
+                dense[i * tr:(i + 1) * tr, j * tc:(j + 1) * tc] = tiles[i, d]
+    return sps.csr_matrix(dense[:mat.n_rows, :mat.n_cols])
+
+
+def to_dense(mat) -> jax.Array:
     """Densify on device (small matrices only: exact spectral path)."""
+    if not isinstance(mat, CSRMatrix):
+        return jnp.asarray(to_scipy(mat).toarray())
     out = jnp.zeros(mat.shape, mat.vals.dtype)
     return out.at[mat.rows, mat.cols].add(mat.vals, mode='drop')
 

@@ -625,3 +625,47 @@ def windowed_from_scipy(mat, *, dtype=None,
                                   slab_width=slab_width,
                                   hub_degree=hub_degree,
                                   permute=permute, dtype=dtype)
+
+
+def windowed_to_scipy(mat: WindowedELLMatrix):
+    """Export back to scipy CSR: unpack the ``(n_out, NW, n_src, L)``
+    slabs (global row ``i·R + w·P + rowid`` — borrowed slots carry
+    ``rowid ∈ [P, 2P)`` addressing the next window, exactly as the fold
+    shifts them) and the residue tiers, then invert the optional
+    relabeling (same contract as :func:`chunked.chunked_to_scipy`)."""
+    import scipy.sparse as sps
+    R, P = mat.chunk_rows, mat.window_rows
+    co = np.asarray(mat.cols)
+    va = np.asarray(mat.vals)
+    ri = np.asarray(mat.rowid).astype(np.int64)
+    n_out, NW, n_src, L = co.shape
+
+    grow = (np.arange(n_out, dtype=np.int64)[:, None, None, None] * R
+            + np.arange(NW, dtype=np.int64)[None, :, None, None] * P + ri)
+    gcol = (np.arange(n_src, dtype=np.int64)[None, None, :, None] * R
+            + co.astype(np.int64))
+    src_sizes = np.minimum(R, mat.n_cols - np.arange(n_src) * R)
+    keep = co < src_sizes[None, None, :, None]
+    rows_l = [grow[keep]]
+    cols_l = [gcol[keep]]
+    vals_l = [va[keep]]
+
+    lr = np.asarray(mat.level_rows, dtype=np.int64)
+    off = 0
+    for lev in mat.levels:
+        lc = np.asarray(lev.cols)
+        grows = np.repeat(lr[off:off + lc.shape[0]], lc.shape[1])
+        off += lc.shape[0]
+        lcf = lc.ravel()
+        lkeep = lcf < mat.src_chunk_size(lev.src_chunk)
+        rows_l.append(grows[lkeep])
+        cols_l.append(lcf[lkeep].astype(np.int64) + lev.src_chunk * R)
+        vals_l.append(np.asarray(lev.vals).ravel()[lkeep])
+
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    vals = np.concatenate(vals_l)
+    if mat.perm is not None:
+        p = np.asarray(mat.perm, dtype=np.int64)
+        rows, cols = p[rows], p[cols]
+    return sps.csr_matrix((vals, (rows, cols)), shape=mat.shape)

@@ -152,6 +152,7 @@ class Filter:
             out = self.G.igft(s_hat)
 
         elif method == 'chebyshev':
+            self.G._hint_fast_laplacian()
             if n_features_in == 1:   # analysis
                 out = self._cheby_program('analysis', order)(self.G.L,
                                                              s[..., 0])

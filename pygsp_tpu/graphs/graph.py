@@ -90,6 +90,7 @@ class Graph:
     def _init_caches(self):
         self._W_op = None
         self._L = None
+        self._fmt_hinted = False
         self._lmax = None
         self._lmax_method = None
         self._U = None
@@ -306,6 +307,23 @@ class Graph:
         """Device Laplacian operator. Supports ``L @ x``, ``L.dot(x)``,
         ``L.to_scipy()``, ``L.to_dense()``."""
         return self._L
+
+    def _hint_fast_laplacian(self):
+        """One-time perf hint before iterated SpMM on a big graph still
+        in the default COO format, which pays the scatter/gather cliff
+        on TPU (see ``core.chunked``). Same warn-before-slow-path UX as
+        the reference's O(N²) warnings (reference graph.py:120,771)."""
+        if self._fmt_hinted or not isinstance(self._L.offdiag,
+                                              core_sparse.CSRMatrix):
+            return
+        self._fmt_hinted = True
+        from pygsp_tpu.core.chunked import CHUNK_ROWS
+        if self.n_vertices > CHUNK_ROWS:
+            self.logger.warning(
+                'Filtering a %d-vertex graph with the default COO '
+                'Laplacian; call G.compute_laplacian(fmt=%r) first to '
+                'use the TPU fast path (windowed-compact ELL).',
+                self.n_vertices, 'auto')
 
     def dirichlet_energy(self, x):
         """``x^T L x`` (reference graph.py:642-702)."""

@@ -178,3 +178,26 @@ def test_cheby_op_fixed_graph_windowed(rng):
     gc2, gx2 = make(cheby.cheby_op_fixed_graph, Lw)(c, x)
     assert np.allclose(np.asarray(gc1), np.asarray(gc2), atol=1e-12)
     assert np.allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-12)
+
+
+def test_cheby_synthesis_windowed_parity(rng):
+    """Forward synthesis on the windowed operator == dense-path synthesis
+    (the chunked dispatch added for constant-memory training)."""
+    from pygsp_tpu.core import windowed as cw
+    from pygsp_tpu.core.operators import LaplacianOp
+
+    G = gsp.graphs.BarabasiAlbert(500, m0=4, m=4, seed=11)
+    G.estimate_lmax()
+    W = G.W.tocsr()
+    dw = np.ravel(W.sum(axis=1))
+    Wneg = W.copy()
+    Wneg.data = -Wneg.data
+    H = cw.windowed_from_scipy(Wneg, chunk_rows=128, window_rows=64)
+    Lw = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
+                     lap_type='combinatorial')
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[3.0, 8.0]).evaluate,
+                          G.lmax, m=12)
+    bank = jnp.asarray(rng.normal(size=(G.N, 4, 2)))   # (N, S, Nf)
+    y_w = np.asarray(cheby.cheby_synthesis(Lw, G.lmax, c, bank))
+    y_d = np.asarray(cheby.cheby_synthesis(G.L, G.lmax, c, bank))
+    assert np.allclose(y_w, y_d, atol=1e-12)

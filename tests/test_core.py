@@ -240,3 +240,57 @@ def test_banded_bf16(rng):
     x = rng.normal(size=(n, 4)).astype(np.float32)
     got = np.asarray(B16 @ jnp.asarray(x)).astype(np.float32)
     assert np.allclose(got, A @ x, rtol=2e-2, atol=2e-2)
+
+
+def test_to_scipy_all_formats(rng):
+    """Every storage format exports back to the exact source matrix
+    (sentinel masks dropped, degree-sort/shuffle relabelings inverted) —
+    mirrors the reference's always-scipy ``G.W``/``G.L`` (graph.py:117)."""
+    from pygsp_tpu.core import chunked as ck
+    from pygsp_tpu.core import windowed as cw
+
+    n = 77  # non-divisible by any chunk size
+    A = random_sym_adj(rng, n=n, density=0.15)
+    mats = {
+        'csr': core_sparse.from_scipy(A),
+        'ell': core_sparse.ell_from_scipy(A),
+        'chunked': ck.chunked_from_scipy(A, chunk_rows=16),
+        'chunked-perm': ck.chunked_from_scipy(A, chunk_rows=16,
+                                              permute='degree'),
+        'windowed': cw.windowed_from_scipy(A, chunk_rows=16, window_rows=8,
+                                           permute=None),
+        'windowed-shuffle': cw.windowed_from_scipy(A, chunk_rows=16,
+                                                   window_rows=8),
+    }
+    for name, M in mats.items():
+        S = core_sparse.to_scipy(M)
+        assert np.allclose(S.toarray(), A.toarray(), atol=1e-14), name
+        assert np.allclose(np.asarray(core_sparse.to_dense(M)),
+                           A.toarray(), atol=1e-14), name
+
+
+def test_to_scipy_banded(rng):
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    A = random_sym_adj(rng, n=300, density=0.02)
+    p = reverse_cuthill_mckee(A, symmetric_mode=True)
+    A = A[p][:, p].tocsr()
+    B = core_sparse.banded_from_scipy(A, max_half_bw=16)
+    assert B is not None
+    assert np.allclose(core_sparse.to_scipy(B).toarray(), A.toarray(),
+                       atol=1e-14)
+
+
+def test_laplacian_to_scipy_fast_formats(rng):
+    """``G.L.to_scipy()`` works after ``compute_laplacian(fmt=...)``
+    (regression: the chunked formats had no scipy export)."""
+    import pygsp_tpu as gsp
+
+    G = gsp.graphs.BarabasiAlbert(150, m0=3, m=3, seed=1)
+    G.compute_laplacian('combinatorial')
+    ref = G.L.to_scipy().toarray()
+    for fmt in ('hybrid', 'auto'):
+        G2 = gsp.graphs.BarabasiAlbert(150, m0=3, m=3, seed=1)
+        G2.compute_laplacian('combinatorial', fmt=fmt)
+        assert np.allclose(G2.L.to_scipy().toarray(), ref, atol=1e-12), fmt
+        assert np.allclose(np.asarray(G2.L.to_dense()), ref, atol=1e-12), fmt

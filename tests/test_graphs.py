@@ -421,3 +421,43 @@ def test_save_load_backend_routing(tmp_path):
         G.save(path, backend='bogus')
     with pytest.raises(ValueError, match='backend'):
         gsp.graphs.Graph.load(path, backend='bogus')
+
+
+def test_fast_laplacian_hint(monkeypatch):
+    """Filtering a big graph still in COO format logs a one-time hint to
+    opt into the TPU fast path; small graphs and converted formats don't."""
+    import logging
+
+    from pygsp_tpu.core import chunked
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Capture(level=logging.WARNING)
+    logger = logging.getLogger('pygsp_tpu.graphs.graph')
+    logger.addHandler(handler)
+    try:
+        s = np.ones(48)
+        G = gsp.graphs.Sensor(48, seed=3)
+        G.estimate_lmax()
+        gsp.filters.Heat(G, scale=5).filter(s)
+        assert not any('fast path' in m for m in records)  # small: quiet
+
+        monkeypatch.setattr(chunked, 'CHUNK_ROWS', 16)     # make 48 "big"
+        G2 = gsp.graphs.Sensor(48, seed=3)
+        G2.estimate_lmax()
+        g2 = gsp.filters.Heat(G2, scale=5)
+        g2.filter(s)
+        assert sum('fast path' in m for m in records) == 1
+        g2.filter(s)                                       # hint is one-time
+        assert sum('fast path' in m for m in records) == 1
+
+        G2.compute_laplacian('combinatorial', fmt='hybrid')
+        G2._fmt_hinted = False
+        g2.filter(s)                                       # non-COO: quiet
+        assert sum('fast path' in m for m in records) == 1
+    finally:
+        logger.removeHandler(handler)
