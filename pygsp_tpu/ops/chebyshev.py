@@ -341,19 +341,44 @@ def cheby_rect(L: LaplacianOp, lmax, bounds, x: jax.Array,
     bounds = jnp.asarray(bounds, dtype=x.dtype)
     m = order + 1
     b1, b2 = jnp.arccos(2.0 * bounds / lmax - 1.0)
-    # 4/lmax * L - 2 I  ==  2/a1 (L - a2 I) with a1 = a2 = lmax/2
-    factor = L.shifted(4.0 / lmax, lmax / 2.0)
-
-    t_old = x
-    t_cur = matvec(factor, x) / 2.0
-    acc = (b1 - b2) / jnp.pi * x + 2.0 / jnp.pi * (jnp.sin(b1) - jnp.sin(b2)) * t_cur
-
+    c0 = (b1 - b2) / jnp.pi
+    c1 = 2.0 / jnp.pi * (jnp.sin(b1) - jnp.sin(b2))
     ks = jnp.arange(2, m, dtype=x.dtype)
     coeffs = 2.0 / (ks * jnp.pi) * (jnp.sin(ks * b1) - jnp.sin(ks * b2))
 
+    from pygsp_tpu.core.chunked import ChunkedELLMatrix
+    from pygsp_tpu.core.windowed import WindowedELLMatrix
+    if isinstance(L.offdiag, (ChunkedELLMatrix, WindowedELLMatrix)):
+        # chunked hot path: no `L.shifted` — a traced-scalar `scale_vals`
+        # would materialize a scaled copy of the whole slot array
+        # (~1 GB at config-5 scale); `_chunked_recurrence` applies the
+        # recurrence scalar to the SpMM output instead.
+        from pygsp_tpu.core import chunked as ck
+        t_old, t_cur, recur = _chunked_recurrence(L, lmax, x)
+        acc = tuple(c0 * to + c1 * tc for to, tc in zip(t_old, t_cur))
+
+        def cstep(carry, ckk):
+            t_old, t_cur, acc = carry
+            t_new = recur(t_old, t_cur)
+            acc = tuple(a + ckk * t for a, t in zip(acc, t_new))
+            return (t_cur, t_new, acc), None
+
+        (_, _, acc), _ = jax.lax.scan(cstep, (t_old, t_cur, acc), coeffs)
+        out = acc[0] if len(acc) == 1 else jnp.concatenate(acc)
+        return ck.permute_out(L.offdiag, out)
+
+    a1 = lmax / 2
+    a2 = lmax / 2
+    sc = 2.0 / a1
+    t_old = x
+    t_cur = (matvec(L, x) - a2 * x) / a1
+    acc = c0 * x + c1 * t_cur
+
     def step(carry, ck):
         t_old, t_cur, acc = carry
-        t_new = matvec(factor, t_cur) - t_old
+        # reference arithmetic order (approximations.py:151-158); the
+        # scalar multiplies the matvec output, never the stored values
+        t_new = sc * (matvec(L, t_cur) - a2 * t_cur) - t_old
         acc = acc + ck * t_new
         return (t_cur, t_new, acc), None
 

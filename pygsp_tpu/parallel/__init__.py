@@ -14,9 +14,13 @@ from pygsp_tpu.parallel.sharded import (
     sharded_cheby_synthesis, make_mesh)
 from pygsp_tpu.parallel.windowed_shards import (ShardedWindowed,
                                                 shard_local_windowed)
+from pygsp_tpu.parallel.launch import (global_mesh, initialize,
+                                       load_edge_shard, process_shard_range,
+                                       put_sharded_graph)
 
 __all__ = ['ShardedGraph', 'ShardedELL', 'ShardedWindowed',
            'partition_graph', 'shard_local_ell', 'shard_local_windowed',
            'sharded_matvec', 'sharded_cheby_op',
            'sharded_cheby_op_fixed_graph', 'sharded_cheby_synthesis',
-           'make_mesh']
+           'make_mesh', 'initialize', 'global_mesh', 'process_shard_range',
+           'load_edge_shard', 'put_sharded_graph']

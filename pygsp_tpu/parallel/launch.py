@@ -55,6 +55,33 @@ def process_shard_range(n_items: int) -> tuple[int, int]:
     return p * per, min((p + 1) * per, n_items)
 
 
+def put_sharded_graph(sg, mesh):
+    """Place a host-built :class:`~pygsp_tpu.parallel.partition.ShardedGraph`
+    onto a (possibly multi-process) global mesh.
+
+    In a multi-controller run every array fed to a jitted program must be
+    a GLOBAL ``jax.Array``; the partitioner's leaves are process-local.
+    Each process calls this with the identical host-built partition (the
+    partitioner is deterministic) and ``jax.device_put`` keeps only the
+    addressable shards. The per-shard arrays shard over the mesh's
+    'graph' axis; ``perm`` is replicated.
+    """
+    import dataclasses
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(a, spec):
+        return jax.device_put(np.asarray(a), NamedSharding(mesh, spec))
+
+    g = P('graph')
+    return dataclasses.replace(
+        sg,
+        rows=put(sg.rows, g), cols=put(sg.cols, g), vals=put(sg.vals, g),
+        diag=put(sg.diag, g),
+        send_idx=tuple(put(s, g) for s in sg.send_idx),
+        perm=put(sg.perm, P()))
+
+
 def load_edge_shard(path: str, n_vertices: int):
     """Load this process's contiguous row-range slice of an edge-list file.
 

@@ -201,3 +201,93 @@ def test_cheby_synthesis_windowed_parity(rng):
     y_w = np.asarray(cheby.cheby_synthesis(Lw, G.lmax, c, bank))
     y_d = np.asarray(cheby.cheby_synthesis(G.L, G.lmax, c, bank))
     assert np.allclose(y_w, y_d, atol=1e-12)
+
+
+def _windowed_pair(rng, n=450, seed=13):
+    """(L_windowed, L_plain, G) on a small BA graph."""
+    from pygsp_tpu.core import windowed as cw
+    from pygsp_tpu.core.operators import LaplacianOp
+
+    G = gsp.graphs.BarabasiAlbert(n, m0=4, m=4, seed=seed)
+    G.estimate_lmax()
+    W = G.W.tocsr()
+    dw = np.ravel(W.sum(axis=1))
+    Wneg = W.copy()
+    Wneg.data = -Wneg.data
+    H = cw.windowed_from_scipy(Wneg, chunk_rows=128, window_rows=64)
+    Lw = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
+                     lap_type='combinatorial')
+    return Lw, G.L, G
+
+
+def test_cheby_rect_windowed_parity(rng):
+    """cheby_rect routes through the chunked recurrence on windowed
+    operators (VERDICT r2 weak #7): same output, and no `scale_vals`
+    slot-array copy in the jitted program."""
+    import jax
+    Lw, Lp, G = _windowed_pair(rng)
+    x = jnp.asarray(rng.normal(size=(G.N, 3)))
+    out_w = np.asarray(cheby.cheby_rect(Lw, G.lmax, [0.5, 3.0], x, order=20))
+    out_p = np.asarray(cheby.cheby_rect(Lp, G.lmax, [0.5, 3.0], x, order=20))
+    assert np.allclose(out_w, out_p, atol=1e-11)
+
+    # memory check: total temp space of the compiled program must not
+    # contain a scaled COPY of the slot slabs (the `scale_vals` trap).
+    # Budget: all recurrence/acc state (~7 signal-sized buffers) plus one
+    # half slab — far below the full extra slab the old path allocated.
+    # Differential: cheby_op's chunked path is the known-clean baseline
+    # (it applies the recurrence scalar to the SpMM output). cheby_rect
+    # must not allocate more than that baseline plus a fraction of a slab
+    # (the old `L.shifted` path added one full scaled slab copy).
+    fn = jax.jit(lambda L, x: cheby.cheby_rect(L, G.lmax, [0.5, 3.0], x,
+                                               order=20))
+    c1 = cheby.cheby_coeff(gsp.filters.Heat(G, scale=5.0).evaluate,
+                           G.lmax, m=20)
+    base = jax.jit(lambda L, x: cheby.cheby_op(L, G.lmax, c1, x))
+    slab_bytes = sum(l.size * np.dtype(l.dtype).itemsize
+                     for l in jax.tree_util.tree_leaves(Lw.offdiag))
+    temp = fn.lower(Lw, x).compile().memory_analysis().temp_size_in_bytes
+    temp_base = (base.lower(Lw, x).compile()
+                 .memory_analysis().temp_size_in_bytes)
+    assert temp <= temp_base + slab_bytes // 2, (temp, temp_base,
+                                                 slab_bytes)
+
+
+def test_lanczos_windowed_parity(rng):
+    """Blocked Lanczos on the windowed operator == plain operator
+    (permutes hoisted outside the Krylov loop)."""
+    from pygsp_tpu.ops import lanczos as lz
+    Lw, Lp, G = _windowed_pair(rng, n=420, seed=17)
+    g = gsp.filters.Heat(G, scale=[5.0, 20.0])
+    x = jnp.asarray(rng.normal(size=(G.N, 3)))
+    out_w = np.asarray(lz.lanczos_op(Lw, g.evaluate, x, order=25))
+    out_p = np.asarray(lz.lanczos_op(Lp, g.evaluate, x, order=25))
+    assert out_w.shape == (2, G.N, 3)
+    assert np.allclose(out_w, out_p, atol=1e-8)
+
+    s = jnp.asarray(rng.normal(size=(G.N, 2, 2)))
+    syn_w = np.asarray(lz.lanczos_synthesis_op(Lw, g.evaluate, s, order=25))
+    syn_p = np.asarray(lz.lanczos_synthesis_op(Lp, g.evaluate, s, order=25))
+    assert np.allclose(syn_w, syn_p, atol=1e-8)
+
+
+def test_lanczos_basis_shapes(rng):
+    """lanczos_basis keeps its public shape contract: 1-D x -> (N, o),
+    (o, o); 2-D x -> (S, N, o), (S, o, o), and V columns orthonormal."""
+    from pygsp_tpu.ops import lanczos as lz
+    G = gsp.graphs.Sensor(60, seed=3)
+    x1 = jnp.asarray(rng.normal(size=(G.N,)))
+    V, H = lz.lanczos_basis(G.L, x1, 8)
+    assert V.shape == (G.N, 8) and H.shape == (8, 8)
+    assert np.allclose(np.asarray(V.T @ V), np.eye(8), atol=1e-8)
+
+    x2 = jnp.asarray(rng.normal(size=(G.N, 3)))
+    V2, H2 = lz.lanczos_basis(G.L, x2, 8)
+    assert V2.shape == (3, G.N, 8) and H2.shape == (3, 8, 8)
+    for i in range(3):
+        assert np.allclose(np.asarray(V2[i].T @ V2[i]), np.eye(8),
+                           atol=1e-8)
+        # Krylov identity: V^T L V == H on the leading block
+        LV = np.asarray(G.L @ V2[i])
+        assert np.allclose(np.asarray(V2[i]).T @ LV, np.asarray(H2[i]),
+                           atol=1e-7)
