@@ -39,8 +39,7 @@ W = sps.csr_matrix(
     (np.ones(2 * len(src), np.float32),
      (np.concatenate([src, tgt]), np.concatenate([tgt, src]))),
     shape=(N, N))
-W.data[:] = 1.0
-W.sum_duplicates()
+W.data[:] = 1.0   # (the COO->CSR constructor already summed duplicates)
 print(f'graph N={N} nnz={W.nnz}', flush=True)
 
 mat = windowed_from_scipy(W, dtype=np.float32)
@@ -79,13 +78,19 @@ def run(dtype):
         best = min(best, time.time() - t0)
     # single-application error vs f64 host reference — through the
     # full-array API (spmm_chunks takes PERMUTED chunks when the builder
-    # shuffle-relabels; m @ x applies entry/exit permutes itself)
+    # shuffle-relabels; m @ x applies entry/exit permutes itself).
+    # NOTE (advisor r2): this path accumulates in the carry dtype too, so
+    # for bf16 the printed err is a FULL-bf16 worst-case bound; the
+    # shipped opt-in mode keeps f32 accumulation (out_dtype=f32) and its
+    # measured errors live in benchmarks/bf16_error_curves.py.
     y1 = np.asarray(m @ jnp.asarray(x, dtype=dtype), np.float64)
     rel = np.linalg.norm(y1 - y_ref) / np.linalg.norm(y_ref)
     rate = REPS * mat.nnz * S / best
     print(f'{np.dtype(dtype).name}: {best*1e3:.1f} ms/{REPS} spmm '
-          f'-> {rate:.3e} edge-ops/s, 1-apply rel err {rel:.2e}, '
-      f'compile {compile_s:.1f}s', flush=True)
+          f'-> {rate:.3e} edge-ops/s, 1-apply rel err {rel:.2e} '
+          f'(full-{np.dtype(dtype).name} bound), '
+          f'first call (compile + {REPS} spmm) {compile_s:.1f}s',
+          flush=True)
     return rate
 
 

@@ -8,10 +8,14 @@ single-chip result this 16 GB v5e can hold and documents the ceiling.
 Memory model at N=4.2M (OOM dumps /tmp/config5*.out): every (N, S) f32
 state buffer lane-pads S up to 128 (2.15 GB each regardless of S <= 128
 — small S wastes lanes without saving memory), and the grouped Chebyshev
-accumulation holds g extra term buffers. So: run FULL S=128 lanes, one
-filter, acc group g=1, sub-chunk the windowed scan body (bounded temps),
-DONATE the input signal (generated device-side per call), and keep the
-slab values in bf16 (exact for unit weights: vals are -1).
+accumulation holds g extra term buffers. Round 2 fit the graph with one
+filter, acc group g=1, donated signals, sub-chunked windowed scan body,
+bf16 slab values (exact for unit weights) — 1.31e10 edge-ops/s = 33% of
+the read roofline, memory-starved. Round 3 (VERDICT #1) adds the bf16
+recurrence CARRY: gather bytes per slot halve AND each term buffer drops
+to 1.07 GB, so the ladder can raise the accumulator group above g=1.
+Candidates run best-first: (bf16 carry, g=4/3/2/1) then the f32-carry
+fallbacks.
 
 Each candidate is AOT-compiled first and its memory_analysis printed, so
 the fit/no-fit boundary is recorded even for configs never executed.
@@ -106,7 +110,6 @@ def main():
     from pygsp_tpu.ops import chebyshev as cheby
 
     os.environ.setdefault('PYGSP_WINDOWED_BODY_MB', '512')
-    os.environ.setdefault('PYGSP_CHEBY_ACC_GROUP', '1')
 
     log(f'device: {jax.devices()[0]}')
     src, tgt = get_graph()
@@ -143,16 +146,24 @@ def main():
     x_host2 = np.random.default_rng(0).normal(
         size=(N, 2)).astype(np.float32)   # validation columns
 
-    for S, val_dtype in ((128, jnp.bfloat16), (128, jnp.float32),
-                         (64, jnp.bfloat16)):
-        tagd = dict(S=S, nf=1, K=K, vals=str(np.dtype(val_dtype)))
+    # ladder: best candidate first. bf16 carry halves gather bytes and
+    # term-buffer memory (acc stays f32 via preferred_element_type); g is
+    # the Chebyshev accumulator group (benchmarks/accgroup_sweep.py).
+    ladder = [(128, jnp.bfloat16, jnp.bfloat16, g) for g in (4, 3, 2, 1)]
+    ladder += [(128, jnp.bfloat16, None, 1), (128, jnp.float32, None, 1)]
+    for S, val_dtype, carry, g in ladder:
+        os.environ['PYGSP_CHEBY_ACC_GROUP'] = str(g)
+        tagd = dict(S=S, nf=1, K=K, vals=str(np.dtype(val_dtype)),
+                    carry='f32' if carry is None else str(np.dtype(carry)),
+                    acc_group=g)
         H = Lop = compiled = None      # free the previous candidate's
         try:                           # device arrays before uploading
             H = jax.device_put(Hh.astype(val_dtype))
             Lop = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
                               lap_type='combinatorial')
             c = c_all[:1]
-            run = jax.jit(lambda L, c, x: cheby.cheby_op(L, lmax, c, x),
+            run = jax.jit(lambda L, c, x: cheby.cheby_op(
+                L, lmax, c, x, carry_dtype=carry, carry_tol=1.0),
                           donate_argnums=(2,))
             xs = jax.ShapeDtypeStruct((N, S), jnp.float32)
             t0 = time.time()
@@ -163,10 +174,21 @@ def main():
                 mem = dict(temp_gb=round(ma.temp_size_in_bytes / 2**30, 2),
                            arg_gb=round(ma.argument_size_in_bytes / 2**30, 2),
                            out_gb=round(ma.output_size_in_bytes / 2**30, 2))
+                # donated x aliases the output buffer
+                eff_gb = (mem['temp_gb'] + mem['arg_gb'] + mem['out_gb']
+                          - N * S * 4 / 2**30)
+                mem['effective_gb'] = round(eff_gb, 2)
             except Exception as e:  # noqa: BLE001
                 mem = dict(memory_analysis=f'{type(e).__name__}')
+                eff_gb = 0.0
             emit(tag='config5_compile', compile_s=round(comp_s, 1),
                  **tagd, **mem)
+            if eff_gb > 15.2:
+                # executing an over-budget program CRASHES the TPU worker
+                # (and every later ladder candidate with it) — record the
+                # fit boundary and move on
+                emit(tag='config5_skip', reason='memory', **tagd, **mem)
+                continue
 
             def make_x(seed):
                 z = jax.random.normal(jax.random.PRNGKey(seed), (N, S),
@@ -197,8 +219,19 @@ def main():
                 W, lmax, np.asarray(c), x_host2)
             err = float(np.abs(dev - cpu_out).max()
                         / (np.abs(cpu_out).max() + 1e-30))
+            # %-of-roofline in bench.py's f32-byte definition (the
+            # BASELINE metric) and at the mode's own gather bytes
+            read_bw = 160e9
+            f32_bytes = K * (nnz * (4 * S + 8) + N * S * 4)
+            sig_b = 2 if carry is not None else 4
+            val_b = np.dtype(val_dtype).itemsize
+            own_bytes = K * (nnz * (sig_b * S + 4 + 1 + val_b)
+                             + N * S * 4)
             emit(tag='config5_result', nnz=nnz, per_filter_ms=dt * 1e3,
                  rel_err=err, edge_ops_per_s=K * nnz * S / dt,
+                 pct_roofline=round(100 * (f32_bytes / read_bw) / dt, 1),
+                 pct_roofline_own_bytes=round(
+                     100 * (own_bytes / read_bw) / dt, 1),
                  vs_reference_cpu=K * nnz * S / dt / cpu_eps, **tagd)
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback ladder

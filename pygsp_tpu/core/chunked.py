@@ -177,8 +177,8 @@ class ChunkedELLMatrix:
             levels=tuple(dataclasses.replace(l, vals=jnp.abs(l.vals))
                          for l in self.levels))
 
-    def spmm_chunks(self, x_chunks) -> tuple:
-        return chunked_spmm_chunks(self, x_chunks)
+    def spmm_chunks(self, x_chunks, out_dtype=None) -> tuple:
+        return chunked_spmm_chunks(self, x_chunks, out_dtype=out_dtype)
 
     def __matmul__(self, x):
         return chunked_spmm(self, x)
@@ -203,7 +203,8 @@ def unchunk_signal(chunks, axis: int = 0) -> jax.Array:
 # SpMM
 # ---------------------------------------------------------------------------
 
-def chunked_spmm_chunks(mat: ChunkedELLMatrix, x_chunks) -> tuple:
+def chunked_spmm_chunks(mat: ChunkedELLMatrix, x_chunks,
+                        out_dtype=None) -> tuple:
     """``y_chunks = A @ x_chunks`` with tuple-of-chunk input and output.
 
     This is the form the Chebyshev scan carries: every gather operand is
@@ -212,6 +213,9 @@ def chunked_spmm_chunks(mat: ChunkedELLMatrix, x_chunks) -> tuple:
     (re-chunking afterwards is two streaming copies — cheap; hundreds of
     per-block scatter ops were the compile + runtime hog, see module
     docstring).
+
+    ``out_dtype``: accumulation/output dtype when the carried chunks are
+    narrower (bf16-carry mode) — see :func:`windowed.windowed_spmm_chunks`.
     """
     n_out = mat.n_out_chunks
     y = [None] * n_out
@@ -219,17 +223,21 @@ def chunked_spmm_chunks(mat: ChunkedELLMatrix, x_chunks) -> tuple:
         for (i, c), blk in zip(mat.block_keys, mat.blocks):
             if blk.cols.shape[1] > 0:
                 t = _slot_block_sum(blk.cols, blk.vals,
-                                    jnp.asarray(x_chunks[c]))
+                                    jnp.asarray(x_chunks[c]),
+                                    out_dtype=out_dtype)
                 y[i] = t if y[i] is None else y[i] + t
         x0 = jnp.asarray(x_chunks[0])
+        ydt = (jnp.dtype(out_dtype) if out_dtype is not None
+               else jnp.promote_types(x0.dtype, mat.dtype))
         for i in range(n_out):
             if y[i] is None:
                 y[i] = jnp.zeros((mat.out_chunk_size(i),) + x0.shape[1:],
-                                 x0.dtype)
+                                 ydt)
         if mat.levels:
             ps = jnp.concatenate(
                 [_slot_block_sum(lev.cols, lev.vals,
-                                 jnp.asarray(x_chunks[lev.src_chunk]))
+                                 jnp.asarray(x_chunks[lev.src_chunk]),
+                                 out_dtype=out_dtype)
                  for lev in mat.levels])
             yf = y[0] if n_out == 1 else jnp.concatenate(y)
             # level_rows repeat across chunks/tiers: not unique_indices

@@ -360,10 +360,15 @@ class ELLMatrix:
         return ell_spmm(self, x)
 
 
-def _slot_block_sum(cols, vals, x, chunk: int = 8):
+def _slot_block_sum(cols, vals, x, chunk: int = 8, out_dtype=None):
     """Σ_d vals[:, d] * x[cols[:, d]] as a buffer-reusing scan over width
     chunks (peak memory O(chunk · R · S); bulk 3-D gathers or fully
-    unrolled slot loops blow HBM at BASELINE scale)."""
+    unrolled slot loops blow HBM at BASELINE scale).
+
+    ``out_dtype`` (default: the vals·x promotion dtype) upcasts each
+    product before accumulation — the bf16-carry mode reads half-width
+    signals but keeps the row sums in f32."""
+    odt = jnp.dtype(out_dtype) if out_dtype is not None else None
     bshape = (-1,) + (1,) * (x.ndim - 1)
     width = cols.shape[1]
     chunk = min(chunk, width)
@@ -374,6 +379,8 @@ def _slot_block_sum(cols, vals, x, chunk: int = 8):
         term = None
         for j in range(cols_c.shape[1]):
             t = vals_c[:, j].reshape(bshape) * x[cols_c[:, j]]
+            if odt is not None:
+                t = t.astype(odt)
             term = t if term is None else term + t
         return term
 
@@ -394,7 +401,7 @@ def _slot_block_sum(cols, vals, x, chunk: int = 8):
 
             y, _ = jax.lax.scan(body, y, (cols_s, vals_s))
     else:
-        y = jnp.zeros(out_shape, x.dtype)
+        y = jnp.zeros(out_shape, odt if odt is not None else x.dtype)
     if rem:
         y = y + chunk_sum(cols[:, n_chunks * chunk:],
                           vals[:, n_chunks * chunk:])

@@ -150,8 +150,8 @@ class WindowedELLMatrix:
             levels=tuple(dataclasses.replace(l, vals=jnp.abs(l.vals))
                          for l in self.levels))
 
-    def spmm_chunks(self, x_chunks) -> tuple:
-        return windowed_spmm_chunks(self, x_chunks)
+    def spmm_chunks(self, x_chunks, out_dtype=None) -> tuple:
+        return windowed_spmm_chunks(self, x_chunks, out_dtype=out_dtype)
 
     def __matmul__(self, x):
         return windowed_spmm(self, x)
@@ -161,7 +161,8 @@ class WindowedELLMatrix:
 # SpMM
 # ---------------------------------------------------------------------------
 
-def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks) -> tuple:
+def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
+                         out_dtype=None) -> tuple:
     """``y_chunks = A @ x_chunks`` with tuple-of-chunk input and output.
 
     One ``lax.scan`` over output chunks; the body gathers every source
@@ -174,6 +175,13 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks) -> tuple:
     into the dot epilogue (``windowed_diag5.py``: same speed as no add;
     ``.at[].add`` and ``pad`` variants cost 2.5-7 ms). Levels fold with
     one global scatter afterwards (outside the scan).
+
+    ``out_dtype`` decouples the accumulation/output dtype from the input
+    chunks: the bf16-carry Chebyshev mode gathers half-width bf16 signal
+    rows while the fold's MXU contraction accumulates in f32
+    (``preferred_element_type``) — only the gather bytes drop precision,
+    never the row sums. bf16 products run the fold at native single-pass
+    MXU precision (exact: the one-hot operand is 0/1).
     """
     R = mat.chunk_rows
     P = mat.window_rows
@@ -182,7 +190,8 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks) -> tuple:
     trailing = xt[0].shape[1:]
     x2 = tuple(xk.reshape(xk.shape[0], -1) for xk in xt)   # (rows, S)
     S = x2[0].shape[1]
-    dt = x2[0].dtype
+    pdt = jnp.promote_types(x2[0].dtype, mat.vals.dtype)   # product dtype
+    dt = jnp.dtype(out_dtype) if out_dtype is not None else pdt
     iota = jnp.arange(2 * P, dtype=jnp.int32)
 
     # Windows per scan step. The body's stacked gather ``p`` and the
@@ -219,16 +228,20 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks) -> tuple:
             p = (jnp.stack(ps, axis=1).reshape(nw, n_src * L, S)
                  if n_src > 1 else ps[0])
             oh = (ri.reshape(nw, n_src * L).astype(jnp.int32)[..., None]
-                  == iota).astype(dt)               # (nw, n_src*L, 2P)
-            if _FOLD_SPLIT2 and dt == jnp.float32:
-                p_hi = p.astype(jnp.bfloat16).astype(dt)
+                  == iota).astype(pdt)              # (nw, n_src*L, 2P)
+            if _FOLD_SPLIT2 and pdt == jnp.float32:
+                p_hi = p.astype(jnp.bfloat16).astype(pdt)
                 p_lo = p - p_hi
                 return (jnp.einsum('wlp,wls->wps', oh, p_hi,
                                    preferred_element_type=dt)
                         + jnp.einsum('wlp,wls->wps', oh, p_lo,
                                      preferred_element_type=dt))
-            return jnp.einsum('wlp,wls->wps', oh, p,
-                              precision=FOLD_PRECISION,
+            # bf16 products: native single-pass MXU, accumulated in the
+            # (wider) out dtype; HIGHEST's multi-pass split is an f32-
+            # operand workaround and would waste passes on exact inputs
+            prec = (lax.Precision.DEFAULT if pdt == jnp.bfloat16
+                    else FOLD_PRECISION)
+            return jnp.einsum('wlp,wls->wps', oh, p, precision=prec,
                               preferred_element_type=dt)
 
         if nw_sub == NW:
@@ -274,7 +287,8 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks) -> tuple:
             # index the chunk-stacked output directly (only the final
             # chunk is padded, past every real row)
             ps = jnp.concatenate(
-                [_slot_block_sum(lev.cols, lev.vals, x2[lev.src_chunk])
+                [_slot_block_sum(lev.cols, lev.vals, x2[lev.src_chunk],
+                                 out_dtype=dt)
                  for lev in mat.levels])
             yf = yf.at[mat.level_rows].add(ps, mode='drop')
 

@@ -85,26 +85,38 @@ class Filter:
     def __matmul__(self, other):
         return self.filter(other)
 
-    def _cheby_program(self, mode: str, order: int):
+    def _cheby_program(self, mode: str, order: int, carry_dtype=None,
+                       carry_tol=None):
         """Cached jit of quadrature + recurrence (kernels and lmax are
         trace-time constants; cache is keyed on lmax so refinements after
-        ``compute_fourier_basis`` retrace)."""
-        key = (mode, order, float(self.G.lmax))
+        ``compute_fourier_basis`` retrace). ``carry_dtype`` requests the
+        reduced-precision carry (gated by its a-priori error bound HERE,
+        at program-build time — inside the jit the coefficients are
+        traced)."""
+        cdt = None if carry_dtype is None else jnp.dtype(carry_dtype).name
+        key = (mode, order, float(self.G.lmax), cdt, carry_tol)
         fn = self._jit_cache.get(key)
         if fn is None:
             lmax = float(self.G.lmax)
+            if carry_dtype is not None:
+                from pygsp_tpu.ops.chebyshev import _check_carry_budget
+                c_gate = cheby.cheby_coeff(self.evaluate, lmax, m=order)
+                _check_carry_budget(np.asarray(c_gate), carry_dtype,
+                                    carry_tol)
 
             if mode == 'analysis':
                 def run(L, s):
                     c = cheby.cheby_coeff(self.evaluate, lmax, m=order,
                                           dtype=s.dtype)
-                    r = cheby.cheby_op(L, lmax, c, s)      # (Nf, N, S)
+                    r = cheby.cheby_op(L, lmax, c, s,
+                                       carry_dtype=carry_dtype)
                     return jnp.moveaxis(r, 0, -1)          # (N, S, Nf)
             else:
                 def run(L, s):
                     c = cheby.cheby_coeff(self.evaluate, lmax, m=order,
                                           dtype=s.dtype)
-                    return cheby.cheby_synthesis(L, lmax, c, s)
+                    return cheby.cheby_synthesis(L, lmax, c, s,
+                                                 carry_dtype=carry_dtype)
 
             fn = jax.jit(run)
             self._jit_cache[key] = fn
@@ -119,11 +131,21 @@ class Filter:
 
     # -- filtering --------------------------------------------------------
 
-    def filter(self, s, method: str = 'chebyshev', order: int = 30):
+    def filter(self, s, method: str = 'chebyshev', order: int = 30,
+               carry_dtype=None, carry_tol=None):
         """Analysis (1 → Nf features) or synthesis (Nf → 1).
 
         Same rank-3 convention and dispatch as the reference
         (``filter.py:146-328``); returns a squeezed jax array.
+
+        ``carry_dtype`` (chebyshev method, chunked/windowed graph
+        formats): opt-in reduced-precision recurrence carry — e.g.
+        ``jnp.bfloat16`` halves the hot loop's gather bytes and state
+        memory at a measured ~3e-3–2e-2 max relative error on the
+        BASELINE banks at order 30 (``BF16_ERRORS_r3.json``,
+        ``benchmarks/bf16_error_curves.py``). Refused with a ValueError
+        when the bank's coefficient decay cannot absorb the rounding
+        (override with ``carry_tol``).
         """
         s = jnp.asarray(self.G._check_signal(np.asanyarray(s) if not
                                              isinstance(s, jax.Array) else s))
@@ -154,10 +176,11 @@ class Filter:
         elif method == 'chebyshev':
             self.G._hint_fast_laplacian()
             if n_features_in == 1:   # analysis
-                out = self._cheby_program('analysis', order)(self.G.L,
-                                                             s[..., 0])
+                out = self._cheby_program('analysis', order, carry_dtype,
+                                          carry_tol)(self.G.L, s[..., 0])
             else:                    # synthesis
-                out = self._cheby_program('synthesis', order)(self.G.L, s)
+                out = self._cheby_program('synthesis', order, carry_dtype,
+                                          carry_tol)(self.G.L, s)
                 out = jnp.expand_dims(out, -1)
 
         elif method == 'lanczos':

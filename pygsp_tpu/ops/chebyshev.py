@@ -59,12 +59,64 @@ def cheby_coeff(evaluate, lmax, m: int = 30, grid_n: int | None = None,
     return (2.0 / n) * kvals @ cosmat.T                # (Nf, m+1)
 
 
-def cheby_op(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
+def carry_error_estimate(c, carry_dtype) -> float:
+    """A-priori relative-error bound of the reduced-precision carry mode.
+
+    Each recurrence step rounds the carried term to ``carry_dtype``
+    (unit roundoff u); the three-term recurrence propagates a step-k
+    perturbation with factor ≤ (k' − k + 1) into later terms, so the
+    output error is bounded by ``u · Σ_k (k + 1)·|c_k|``, normalized by
+    the series' own peak magnitude ``max_λ |Σ' c_k T_k|`` (evaluated on a
+    dense Chebyshev grid). Measured curves on the BASELINE configs run
+    ~5–20x BELOW this bound (``benchmarks/bf16_error_curves.py``); the
+    default gate tolerance accounts for that headroom.
+    """
+    import numpy as np
+    c = np.atleast_2d(np.asarray(c, dtype=np.float64))
+    nf, m1 = c.shape
+    u = float(jnp.finfo(carry_dtype).eps) / 2
+    k = np.arange(m1)
+    amp = np.sum((k[None, :] + 1) * np.abs(c), axis=1)        # per filter
+    theta = np.linspace(0.0, np.pi, 512)
+    T = np.cos(k[:, None] * theta[None, :])                   # (m+1, grid)
+    g = c @ T - 0.5 * c[:, :1] * T[:1]                        # 0.5·c0 conv
+    gmax = np.abs(g).max(axis=1)
+    return float((u * amp / np.maximum(gmax, 1e-300)).max())
+
+
+def _check_carry_budget(c, carry_dtype, carry_tol):
+    import os
+    if carry_tol is None:
+        carry_tol = float(os.environ.get('PYGSP_CARRY_TOL', 0.05))
+    est = carry_error_estimate(c, carry_dtype)
+    if est > carry_tol:
+        raise ValueError(
+            f'carry_dtype={jnp.dtype(carry_dtype).name} refused: the '
+            f'a-priori relative error bound {est:.2e} exceeds carry_tol='
+            f'{carry_tol:.0e} — this filter bank\'s Chebyshev '
+            f'coefficients decay too slowly to absorb the carry '
+            f'rounding. Pass carry_tol={est * 1.1:.1e} to override, or '
+            f'drop carry_dtype for the exact path.')
+
+
+def cheby_op(L: LaplacianOp, lmax, c, x: jax.Array,
+             carry_dtype=None, carry_tol: float | None = None) -> jax.Array:
     """Apply a Chebyshev-approximated filter bank: ``(Nf, m+1), (N, ...) -> (Nf, N, ...)``.
 
     Exact arithmetic of ``cheby_op`` (``approximations.py:58-114``): shifted
     recurrence on [0, lmax] with the 0.5·c0 convention, all Nf filters
     accumulated from the shared recurrence terms.
+
+    ``carry_dtype`` (opt-in, chunked/windowed formats only): dtype of the
+    CARRIED recurrence terms ``T̃_k x``. ``jnp.bfloat16`` halves both the
+    gather bytes of every SpMM step (the hot path's bound) and the
+    recurrence-state memory; every row sum, diagonal term, and
+    accumulator stays f32 (``preferred_element_type`` on the fold), so
+    only the per-step carry rounds. The a-priori error estimate
+    :func:`carry_error_estimate` gates the mode: if it exceeds
+    ``carry_tol`` (default 0.05, env ``PYGSP_CARRY_TOL``) a ValueError
+    explains the refusal — pass a larger ``carry_tol`` to override.
+    Measured per-order error curves: ``benchmarks/bf16_error_curves.py``.
     """
     c = jnp.atleast_2d(c)
     nf, m1 = c.shape
@@ -72,8 +124,16 @@ def cheby_op(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
         raise ValueError('Chebyshev coefficients need order >= 1')
     from pygsp_tpu.core.chunked import ChunkedELLMatrix
     from pygsp_tpu.core.windowed import WindowedELLMatrix
+    if carry_dtype is not None and jnp.dtype(carry_dtype) != x.dtype:
+        if not isinstance(L.offdiag, (ChunkedELLMatrix, WindowedELLMatrix)):
+            raise ValueError('carry_dtype is only supported on chunked/'
+                             'windowed operator formats (the hot path)')
+        if not isinstance(c, jax.core.Tracer):
+            # under jit the coefficients are traced; callers gate at
+            # program-build time instead (Filter._cheby_program does)
+            _check_carry_budget(c, carry_dtype, carry_tol)
     if isinstance(L.offdiag, (ChunkedELLMatrix, WindowedELLMatrix)):
-        return _cheby_op_chunked(L, lmax, c, x)
+        return _cheby_op_chunked(L, lmax, c, x, carry_dtype=carry_dtype)
     lmax = jnp.asarray(lmax, dtype=x.dtype)
     a1 = lmax / 2
     a2 = lmax / 2
@@ -101,7 +161,8 @@ def cheby_op(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
     return acc
 
 
-def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
+def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array,
+                      carry_dtype=None) -> jax.Array:
     """:func:`cheby_op` for a chunked off-diagonal (``core.chunked``).
 
     Same arithmetic; the recurrence state is carried as a TUPLE of
@@ -109,33 +170,45 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
     VMEM gather cliff (separate scan-carry buffers gather at ~2.1-2.7
     ns/row where slices of one (N, S) buffer pay ~11 — measured in
     benchmarks/gather_probe3.py).
+
+    ``carry_dtype``: see :func:`cheby_op`. The carried ``T̃_k`` chunks
+    (and only they) hold this dtype; the SpMM row sums, the diagonal
+    term, and the accumulators compute in the signal dtype, so each step
+    pays exactly one rounding of the carry.
     """
     from pygsp_tpu.core import chunked as ck
 
     nf, m1 = c.shape
-    lmax = jnp.asarray(lmax, dtype=x.dtype)
+    odt = x.dtype
+    cdt = jnp.dtype(carry_dtype) if carry_dtype is not None else odt
+    lmax = jnp.asarray(lmax, dtype=odt)
     a1 = lmax / 2
     a2 = lmax / 2
     bshape = (nf,) + (1,) * x.ndim
     R = L.offdiag.chunk_rows
     dshape = (-1,) + (1,) * (x.ndim - 1)
 
-    def lap_chunks(diag_chunks, mat, xc):
-        yc = mat.spmm_chunks(xc)
-        return tuple(d * xk + yk
-                     for d, xk, yk in zip(diag_chunks, xc, yc))
+    if cdt == odt:
+        def cast(t):
+            return t
+        spmm_kw = {}
+    else:
+        def cast(t):
+            return tuple(tk.astype(cdt) for tk in t)
+        spmm_kw = {'out_dtype': odt}
 
     # degree-sort permutes are hoisted: ONE gather in, ONE gather out,
     # with all K recurrence steps running in the matrix's sorted order
     diag_c = ck.chunk_signal(
         ck.permute_in(L.offdiag, L.diag).reshape(dshape), R)
     xc = ck.chunk_signal(ck.permute_in(L.offdiag, x), R)
-    t_old = xc
-    t_cur = tuple((lk - a2 * xk) / a1
-                  for lk, xk in zip(lap_chunks(diag_c, L.offdiag, xc), xc))
-    acc = tuple(0.5 * c[:, 0].reshape(bshape) * to[None]
-                + c[:, 1].reshape(bshape) * tc[None]
-                for to, tc in zip(t_old, t_cur))
+    t_old = cast(xc)
+    yc0 = L.offdiag.spmm_chunks(t_old, **spmm_kw)
+    t_cur = cast(tuple((d * xk + yk - a2 * xk) / a1
+                       for d, xk, yk in zip(diag_c, xc, yc0)))
+    acc = tuple(0.5 * c[:, 0].reshape(bshape) * xk[None]
+                + c[:, 1].reshape(bshape) * tc.astype(odt)[None]
+                for xk, tc in zip(xc, t_cur))
 
     if m1 > 2:
         # 2/a1 * (L - a2 I) applied as: sc*(offdiag @ x) + fused-diag*x.
@@ -151,10 +224,10 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
         fmat = L.offdiag
 
         def recur(t_old, t_cur):
-            yc = fmat.spmm_chunks(t_cur)
-            return tuple(fd * tk + sc * yk - to
-                         for fd, tk, yk, to in zip(fdiag_c, t_cur, yc,
-                                                   t_old))
+            yc = fmat.spmm_chunks(t_cur, **spmm_kw)
+            return cast(tuple(fd * tk + sc * yk - to
+                              for fd, tk, yk, to in zip(fdiag_c, t_cur, yc,
+                                                        t_old)))
 
         def add_acc(acc, ckk, t_new):
             return tuple(a + ckk.reshape(bshape) * t[None]
@@ -178,12 +251,17 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
         if os.environ.get('PYGSP_CHEBY_ACC_GROUP'):
             g = min(int(os.environ['PYGSP_CHEBY_ACC_GROUP']), max(rem, 1))
         else:
-            term_bytes = max(x.size * x.dtype.itemsize, 1)
+            # recurrence terms live in the carry dtype: a bf16 carry
+            # halves term_bytes, roughly doubling the feasible g at
+            # memory-starved sizes (config-5's g=1 → g≥3)
+            term_bytes = max(x.size * cdt.itemsize, 1)
+            acc_bytes = max(x.size * odt.itemsize, 1)
             slab_bytes = sum(l.size * l.dtype.itemsize
                              for l in jax.tree_util.tree_leaves(L.offdiag))
             budget = float(os.environ.get('PYGSP_CHEBY_DEVICE_MB',
                                           12288)) * 2**20
-            avail = budget - slab_bytes - (nf + 4) * term_bytes
+            avail = (budget - slab_bytes - nf * acc_bytes
+                     - 4 * max(term_bytes, acc_bytes))
             g = max(1, min(rem, 14, int(avail // term_bytes)))
         for k in range(2, 2 + rem % g):      # unrolled head remainder
             t_new = recur(t_old, t_cur)
@@ -191,17 +269,46 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
             t_old, t_cur = t_cur, t_new
         cg = c[:, 2 + rem % g:].T.reshape(-1, g, nf)   # (n_groups, g, nf)
 
+        # The g recurrence steps of each group run as an INNER scan whose
+        # stacked outputs feed ONE accumulator contraction per chunk —
+        # the g term buffers were materialized either way, but tracing
+        # recur once instead of g times cuts the program (and fresh
+        # XLA compile) by ~g at unchanged HBM traffic (VERDICT r2 #5;
+        # round-2's unrolled body compiled in 177 s at the bench
+        # config). PYGSP_CHEBY_GROUP_UNROLL=1 restores the unrolled
+        # body for A/B probes.
+        unroll_group = os.environ.get('PYGSP_CHEBY_GROUP_UNROLL') == '1'
+
         def step(carry, ckg):
             t_old, t_cur, acc = carry
-            terms = []
-            for j in range(g):
-                t_new = recur(t_old, t_cur)
-                terms.append(t_new)
-                t_old, t_cur = t_cur, t_new
-            acc = tuple(
-                a + sum(ckg[j].reshape(bshape) * terms[j][i][None]
-                        for j in range(g))
-                for i, a in enumerate(acc))
+            if unroll_group or g == 1:
+                terms = []
+                for j in range(g):
+                    t_new = recur(t_old, t_cur)
+                    terms.append(t_new)
+                    t_old, t_cur = t_cur, t_new
+                acc = tuple(
+                    a + sum(ckg[j].reshape(bshape) * terms[j][i][None]
+                            for j in range(g))
+                    for i, a in enumerate(acc))
+            else:
+                def inner(ic, _):
+                    to, tc = ic
+                    tn = recur(to, tc)
+                    return (tc, tn), tn
+
+                (t_old, t_cur), terms = jax.lax.scan(
+                    inner, (t_old, t_cur), None, length=g)
+                # terms: per-chunk (g, rows, ...) stacks; fold all g
+                # coefficients into acc in one pass per chunk. Kept
+                # elementwise (VPU): an MXU contraction at DEFAULT
+                # precision would round the f32 path through bf16, and
+                # the arithmetic here must stay bit-identical to the
+                # unrolled body.
+                acc = tuple(
+                    a + sum(ckg[j].reshape(bshape) * t[j][None]
+                            for j in range(g))
+                    for a, t in zip(acc, terms))
             return (t_old, t_cur, acc), None
 
         if cg.shape[0]:
@@ -415,7 +522,9 @@ def jackson_cheby_coeff(filter_bounds, delta_lambda, m: int):
     return ch, ch * gamma
 
 
-def cheby_synthesis(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
+def cheby_synthesis(L: LaplacianOp, lmax, c, x: jax.Array,
+                    carry_dtype=None,
+                    carry_tol: float | None = None) -> jax.Array:
     """Synthesis: per-filter coefficients applied to per-filter signals, summed.
 
     ``c``: (Nf, m+1); ``x``: (N, ..., Nf) — feature axis last. Returns
@@ -423,6 +532,9 @@ def cheby_synthesis(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
     (``filter.py:313-322``) but runs ONE recurrence over the whole
     (N, ... * Nf) block instead of Nf sequential recurrences, so the SpMMs
     are Nf× wider — same FLOPs, far better TPU utilisation.
+
+    ``carry_dtype``/``carry_tol``: reduced-precision carry, as in
+    :func:`cheby_op` (chunked/windowed formats only).
     """
     c = jnp.atleast_2d(c)
     nf, m1 = c.shape
@@ -431,8 +543,15 @@ def cheby_synthesis(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
                          f'number of filters ({nf})')
     from pygsp_tpu.core.chunked import ChunkedELLMatrix
     from pygsp_tpu.core.windowed import WindowedELLMatrix
+    if carry_dtype is not None and jnp.dtype(carry_dtype) != x.dtype:
+        if not isinstance(L.offdiag, (ChunkedELLMatrix, WindowedELLMatrix)):
+            raise ValueError('carry_dtype is only supported on chunked/'
+                             'windowed operator formats (the hot path)')
+        if not isinstance(c, jax.core.Tracer):
+            _check_carry_budget(c, carry_dtype, carry_tol)
     if isinstance(L.offdiag, (ChunkedELLMatrix, WindowedELLMatrix)):
-        return _cheby_synthesis_chunked(L, lmax, c, x)
+        return _cheby_synthesis_chunked(L, lmax, c, x,
+                                        carry_dtype=carry_dtype)
     lmax = jnp.asarray(lmax, dtype=x.dtype)
     a1 = lmax / 2
     a2 = lmax / 2
@@ -456,15 +575,22 @@ def cheby_synthesis(L: LaplacianOp, lmax, c, x: jax.Array) -> jax.Array:
     return acc
 
 
-def _chunked_recurrence(L: LaplacianOp, lmax, x, dtype=None):
+def _chunked_recurrence(L: LaplacianOp, lmax, x, dtype=None,
+                        carry_dtype=None):
     """Shared setup for chunked-format recurrences: hoisted entry
     permute, chunked signal/diag tuples, and a ``recur`` closure that
     applies ``2/a1 (L − a2 I)·t − t_old`` with the scalar on the SpMM
     OUTPUT (``scale_vals`` on a traced scalar would materialize a scaled
-    copy of the whole slot array — see :func:`_cheby_op_chunked`)."""
+    copy of the whole slot array — see :func:`_cheby_op_chunked`).
+
+    ``carry_dtype``: dtype of the carried term tuples (see
+    :func:`cheby_op`); row sums and elementwise math stay in the signal
+    dtype."""
     from pygsp_tpu.core import chunked as ck
 
-    lmax = jnp.asarray(lmax, dtype=dtype or x.dtype)
+    odt = dtype or x.dtype
+    cdt = jnp.dtype(carry_dtype) if carry_dtype is not None else odt
+    lmax = jnp.asarray(lmax, dtype=odt)
     a1 = lmax / 2
     a2 = lmax / 2
     R = L.offdiag.chunk_rows
@@ -477,20 +603,31 @@ def _chunked_recurrence(L: LaplacianOp, lmax, x, dtype=None):
         ck.permute_in(L.offdiag, (L.diag - a2) * sc).reshape(dshape), R)
     fmat = L.offdiag
 
-    t_old = xc
-    yc0 = fmat.spmm_chunks(xc)
-    t_cur = tuple((d * xk + yk - a2 * xk) / a1
-                  for d, xk, yk in zip(diag_c, xc, yc0))
+    if cdt == odt:
+        def cast(t):
+            return t
+        spmm_kw = {}
+    else:
+        def cast(t):
+            return tuple(tk.astype(cdt) for tk in t)
+        spmm_kw = {'out_dtype': odt}
+
+    t_old = cast(xc)
+    yc0 = fmat.spmm_chunks(t_old, **spmm_kw)
+    t_cur = cast(tuple((d * xk + yk - a2 * xk) / a1
+                       for d, xk, yk in zip(diag_c, xc, yc0)))
 
     def recur(t_old, t_cur):
-        yc = fmat.spmm_chunks(t_cur)
-        return tuple(fd * tk + sc * yk - to
-                     for fd, tk, yk, to in zip(fdiag_c, t_cur, yc, t_old))
+        yc = fmat.spmm_chunks(t_cur, **spmm_kw)
+        return cast(tuple(fd * tk + sc * yk - to
+                          for fd, tk, yk, to in zip(fdiag_c, t_cur, yc,
+                                                    t_old)))
 
     return t_old, t_cur, recur
 
 
-def _cheby_synthesis_chunked(L: LaplacianOp, lmax, c, x: jax.Array):
+def _cheby_synthesis_chunked(L: LaplacianOp, lmax, c, x: jax.Array,
+                             carry_dtype=None):
     """:func:`cheby_synthesis` on chunked/windowed operators: the same
     hot-path recurrence as :func:`_cheby_op_chunked` (chunk-tuple carry,
     hoisted permutes), with the per-step accumulation contracting the
@@ -498,7 +635,8 @@ def _cheby_synthesis_chunked(L: LaplacianOp, lmax, c, x: jax.Array):
     from pygsp_tpu.core import chunked as ck
 
     nf, m1 = c.shape
-    t_old, t_cur, recur = _chunked_recurrence(L, lmax, x)
+    t_old, t_cur, recur = _chunked_recurrence(L, lmax, x,
+                                              carry_dtype=carry_dtype)
     acc = tuple(jnp.sum(0.5 * c[:, 0] * to + c[:, 1] * tc, axis=-1)
                 for to, tc in zip(t_old, t_cur))
     if m1 > 2:

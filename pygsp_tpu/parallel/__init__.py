@@ -8,7 +8,8 @@ signal/feature axis optionally sharded as data parallelism.
 """
 
 from pygsp_tpu.parallel.partition import (ShardedGraph, ShardedELL,
-                                           partition_graph, shard_local_ell)
+                                           cluster_shards, partition_graph,
+                                           shard_local_ell)
 from pygsp_tpu.parallel.sharded import (
     sharded_matvec, sharded_cheby_op, sharded_cheby_op_fixed_graph,
     sharded_cheby_synthesis, make_mesh)
@@ -19,6 +20,7 @@ from pygsp_tpu.parallel.launch import (global_mesh, initialize,
                                        put_sharded_graph)
 
 __all__ = ['ShardedGraph', 'ShardedELL', 'ShardedWindowed',
+           'cluster_shards',
            'partition_graph', 'shard_local_ell', 'shard_local_windowed',
            'sharded_matvec', 'sharded_cheby_op',
            'sharded_cheby_op_fixed_graph', 'sharded_cheby_synthesis',

@@ -97,6 +97,174 @@ class ShardedGraph:
         return jnp.asarray(y)[jnp.asarray(self.perm)]
 
 
+def _lpa_communities(indptr, indices, n_shards, rounds=20):
+    """Community detection by plain label propagation (labels start as
+    vertex ids; each round every vertex adopts its most frequent neighbor
+    label, ties to the smallest). Vectorized as a run-length count over
+    ``(row, label)``-sorted edge labels — O(E log E) per round.
+
+    Collapse guard: stop (returning the PREVIOUS labeling) as soon as the
+    heaviest community outgrows one shard's capacity — a community that
+    cannot fit a shard is useless for packing, and unguarded LPA on
+    graphs with weak structure merges everything into a handful of giant
+    labels.
+    """
+    N = len(indptr) - 1
+    deg = np.diff(indptr).astype(np.int64)
+    w = (deg + 1).astype(np.float64)
+    cap = w.sum() / n_shards
+    rows = np.repeat(np.arange(N, dtype=np.int64), deg)
+    labels = np.arange(N, dtype=np.int64)
+    for _ in range(rounds):
+        lab_e = labels[indices]
+        order = np.lexsort((lab_e, rows))
+        r_s, l_s = rows[order], lab_e[order]
+        new_run = np.concatenate(
+            [[True], (r_s[1:] != r_s[:-1]) | (l_s[1:] != l_s[:-1])])
+        run_id = np.cumsum(new_run) - 1
+        run_counts = np.bincount(run_id)
+        run_row = r_s[new_run]
+        run_lab = l_s[new_run]
+        o2 = np.lexsort((run_lab, -run_counts, run_row))
+        rr = run_row[o2]
+        first = np.concatenate([[True], rr[1:] != rr[:-1]])
+        newlab = labels.copy()
+        newlab[rr[first]] = run_lab[o2][first]
+        lw = np.bincount(np.unique(newlab, return_inverse=True)[1],
+                         weights=w)
+        if lw.max() > cap:
+            return labels
+        changed = int((newlab != labels).sum())
+        labels = newlab
+        if changed < max(N // 1000, 1):
+            break
+    return labels
+
+
+def _pack_communities(labels, deg, n_shards, cap_slack=1.05):
+    """Bin-pack communities into shards: heaviest community first into
+    the least-loaded shard (LPT greedy), splitting any community that
+    does not fit the remaining capacity by cumulative degree."""
+    N = len(labels)
+    w = deg + 1
+    cap = w.sum() / n_shards * cap_slack
+    uniq, inv = np.unique(labels, return_inverse=True)
+    cw = np.bincount(inv, weights=w.astype(np.float64))
+    order = np.argsort(inv, kind='stable')
+    shard = np.empty(N, np.int32)
+    loads = np.zeros(n_shards)
+    starts = np.zeros(len(uniq) + 1, np.int64)
+    np.cumsum(np.bincount(inv), out=starts[1:])
+    for ci in np.argsort(-cw):
+        verts = order[starts[ci]:starts[ci + 1]]
+        cum = np.cumsum(w[verts].astype(np.float64))
+        lo = 0
+        while lo < len(verts):
+            s = int(np.argmin(loads))
+            room = cap - loads[s]
+            base = cum[lo - 1] if lo else 0.0
+            hi = int(np.searchsorted(
+                cum, base + max(room, w[verts[lo]]), side='right'))
+            hi = max(hi, lo + 1)
+            shard[verts[lo:hi]] = s
+            loads[s] += cum[hi - 1] - base
+            lo = hi
+    return shard
+
+
+def _refine_labels(indptr, indices, labels, n_shards, rounds=15,
+                   slack=1.05):
+    """Capacity-constrained k-way refinement: each round every vertex
+    scores shards by neighbor count and the highest-gain movers are
+    accepted per target shard until its capacity (nnz·slack/S) fills."""
+    N = len(indptr) - 1
+    S = n_shards
+    deg = np.diff(indptr).astype(np.int64)
+    rows = np.repeat(np.arange(N, dtype=np.int64), deg)
+    w = deg + 1
+    cap = w.sum() / S * slack
+    ar = np.arange(N)
+    labels = labels.astype(np.int32).copy()
+    for _ in range(rounds):
+        counts = np.bincount(rows * S + labels[indices],
+                             minlength=N * S).reshape(N, S)
+        load = np.bincount(labels, weights=w.astype(np.float64),
+                           minlength=S)
+        best = np.argmax(counts.astype(np.float64)
+                         - 1e-9 * load[None, :], axis=1).astype(np.int32)
+        gain = counts[ar, best] - counts[ar, labels]
+        movers = np.flatnonzero((gain > 0) & (best != labels))
+        if not len(movers):
+            break
+        order = movers[np.lexsort((-gain[movers], best[movers]))]
+        tgt = best[order]
+        grp = np.searchsorted(tgt, np.arange(S))
+        cumw = np.cumsum(w[order].astype(np.float64))
+        prev = np.concatenate([[0.0], cumw])[grp]
+        accept = cumw - prev[tgt] + load[tgt] <= cap
+        moved = order[accept]
+        if not len(moved):
+            break
+        labels[moved] = best[moved]
+    return labels
+
+
+def _halo_pairs(indptr, indices, labels):
+    """The partition objective: unique (receiving shard, remote column)
+    pairs — exactly the rows shipped per SpMM step."""
+    N = len(indptr) - 1
+    deg = np.diff(indptr).astype(np.int64)
+    rows = np.repeat(np.arange(N, dtype=np.int64), deg)
+    sr = labels[rows].astype(np.int64)
+    mask = sr != labels[indices]
+    return int(np.unique(sr[mask] * N + indices[mask]).size)
+
+
+def cluster_shards(W, n_shards: int, slack: float = 1.05,
+                   lpa_rounds: int = 20,
+                   refine_rounds: int = 15) -> np.ndarray:
+    """Shard labels by community clustering (SURVEY §7 stage 6's
+    "boundary-minimizing METIS-lite"): guarded label-propagation
+    community detection → LPT bin-packing into ``n_shards`` →
+    capacity-constrained k-way refinement. All passes are vectorized
+    NumPy, O(E log E) per round — ~20 s at 16.7M edges.
+
+    Returns the best of three candidates by the true objective (unique
+    halo pairs): the contiguous nnz-balanced split, its refinement, and
+    the refined LPA packing — LPA can lose to contiguity when the vertex
+    order is already block-local (sorted SBM), and win big when it is
+    not (shuffled SBM: halo within ~6% of the true-membership oracle,
+    28% below the contiguous split). On expander-like graphs (BA) every
+    candidate is within ~10% of random — ``PARTITION_r3.json`` records
+    the measured decomposition showing BA halo volume is dominated by
+    low-degree columns no vertex partition can localize.
+    """
+    W = sps.csr_matrix(W)
+    N = W.shape[0]
+    deg = np.diff(W.indptr).astype(np.int64)
+
+    # candidate 0: contiguous nnz-balanced ranges (the non-cluster default)
+    cum = np.cumsum(deg + 1)
+    targets = cum[-1] / n_shards * np.arange(1, n_shards)
+    bounds = np.concatenate([[0], np.searchsorted(cum, targets), [N]])
+    contig = np.zeros(N, np.int32)
+    for s in range(n_shards):
+        contig[bounds[s]:bounds[s + 1]] = s
+
+    comm = _lpa_communities(W.indptr, W.indices, n_shards,
+                            rounds=lpa_rounds)
+    packed = _pack_communities(comm, deg, n_shards, cap_slack=slack)
+    candidates = [
+        contig,
+        _refine_labels(W.indptr, W.indices, contig, n_shards,
+                       rounds=refine_rounds, slack=slack),
+        _refine_labels(W.indptr, W.indices, packed, n_shards,
+                       rounds=refine_rounds, slack=slack),
+    ]
+    return min(candidates,
+               key=lambda l: _halo_pairs(W.indptr, W.indices, l))
+
+
 def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
                     reorder: str = 'rcm', balance: str = 'nnz',
                     dtype=None) -> ShardedGraph:
@@ -104,7 +272,11 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
 
     reorder: 'rcm' (reverse Cuthill–McKee, minimizes boundary volume for
     mesh-like graphs), 'none' (keep order — SBM graphs sorted by community
-    are already block-local).
+    are already block-local), 'cluster' (community clustering via
+    :func:`cluster_shards` — recovers block-local partitions from
+    arbitrary vertex order; shard boundaries then FOLLOW the clusters
+    and ``balance`` is ignored, with nnz imbalance ≤ ~1.05 enforced by
+    the packer's capacity).
 
     balance: 'nnz' splits the (reordered) vertex sequence at degree-
     weighted boundaries so every shard owns ~nnz/S edges — on power-law
@@ -119,17 +291,26 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
     if dtype is None:
         dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
 
+    cluster_bounds = None
     if reorder == 'rcm':
         order = sps.csgraph.reverse_cuthill_mckee(W, symmetric_mode=True)
     elif reorder == 'none':
         order = np.arange(N)
+    elif reorder == 'cluster':
+        labels = cluster_shards(W, n_shards)
+        order = np.argsort(labels, kind='stable')
+        cluster_bounds = np.concatenate(
+            [[0], np.cumsum(np.bincount(labels, minlength=n_shards))]
+        ).astype(np.int64)
     else:
         raise ValueError(f'Unknown reorder {reorder!r}')
     Wp = W[order][:, order].tocsr()
 
     # --- shard boundaries over the reordered vertex sequence -------------
     deg_rank = np.diff(Wp.indptr)             # degree of each rank
-    if balance == 'nnz' and deg_rank.sum() > 0:
+    if cluster_bounds is not None:
+        bounds = cluster_bounds
+    elif balance == 'nnz' and deg_rank.sum() > 0:
         # split cumulative degree evenly; +1 per vertex regularizes
         # zero-degree stretches so vertex counts can't run away
         cum = np.cumsum(deg_rank + 1)

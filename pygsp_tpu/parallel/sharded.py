@@ -154,16 +154,28 @@ def sharded_matvec(sg: ShardedGraph, x, mesh: Mesh, ell=None):
     return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, ell, x)
 
 
-def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh, ell=None):
+def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh, ell=None,
+                     carry_dtype=None, carry_tol=None):
     """Chebyshev filter bank on the sharded graph.
 
     c: (Nf, m+1); x: (S*n_local, ...) sharded over 'graph' (trailing axis
     over 'batch' if 2-D). Returns (Nf, S*n_local, ...) with the same math
     as :func:`pygsp_tpu.ops.chebyshev.cheby_op`.
+
+    ``carry_dtype`` (opt-in, e.g. ``jnp.bfloat16``): dtype of the carried
+    recurrence terms — and therefore of the HALO PAYLOAD, halving the
+    per-step ``ppermute`` bytes on the wire along with the local gather
+    bytes. Row sums, the diagonal term, and accumulators stay in the
+    signal dtype; gated by the same a-priori error bound as
+    :func:`pygsp_tpu.ops.chebyshev.cheby_op`.
     """
     c = jnp.atleast_2d(c)
     nf, m1 = c.shape
     lmax = jnp.asarray(lmax, dtype=sg.dtype)
+    cdt = jnp.dtype(carry_dtype) if carry_dtype is not None else None
+    if cdt is not None and not isinstance(c, jax.core.Tracer):
+        from pygsp_tpu.ops.chebyshev import _check_carry_budget
+        _check_carry_budget(c, cdt, carry_tol)
 
     def body(rows, cols, vals, diag, send_idx, ell, c, lmax, x_local):
         rows, cols, vals = rows[0], cols[0], vals[0]
@@ -175,18 +187,27 @@ def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh, ell=None):
                      n_shards=sg.n_shards, n_local=sg.n_local,
                      dists=sg.halo_dists, ell=ell)
 
+        def cast(t):
+            return t if cdt is None else t.astype(cdt)
+
         bshape = (nf,) + (1,) * x_local.ndim
-        t_old = x_local
-        t_cur = (mv(x_local) - a2 * x_local) / a1
-        acc = (0.5 * c[:, 0].reshape(bshape) * t_old[None]
-               + c[:, 1].reshape(bshape) * t_cur[None])
+        t_old = cast(x_local)
+        # the matvec input (→ halo payload + gathers) is the carried
+        # dtype; its output and all elementwise math stay f32, and the
+        # accumulators read the UNROUNDED f32 term — the carry rounds
+        # once per step, exactly as in the single-chip mode
+        t_cur_f = (mv(t_old) - a2 * x_local) / a1
+        acc = (0.5 * c[:, 0].reshape(bshape) * x_local[None]
+               + c[:, 1].reshape(bshape) * t_cur_f[None])
+        t_cur = cast(t_cur_f)
 
         if m1 > 2:
             def step(carry, ck):
                 t_old, t_cur, acc = carry
-                t_new = mv(t_cur, scale=2.0 / a1, shift=a2) - t_old
-                acc = acc + ck.reshape(bshape) * t_new[None]
-                return (t_cur, t_new, acc), None
+                t_new_f = (mv(t_cur, scale=2.0 / a1, shift=a2)
+                           - t_old.astype(acc.dtype))
+                acc = acc + ck.reshape(bshape) * t_new_f[None]
+                return (t_cur, cast(t_new_f), acc), None
 
             (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc),
                                           c[:, 2:].T)

@@ -168,3 +168,137 @@ def test_windowed_subchunked_scan(step, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(got, W @ np.asarray(x),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_bf16_carry_windowed(rng):
+    """Opt-in bf16 recurrence carry (VERDICT r3 #1/#2): f32-accumulated,
+    within the measured error budget, and gated by the a-priori bound."""
+    import jax.numpy as jnp
+    import pygsp_tpu as gsp
+    from pygsp_tpu.core import windowed as cw
+    from pygsp_tpu.core.operators import LaplacianOp
+    from pygsp_tpu.ops import chebyshev as cheby
+
+    G = gsp.graphs.BarabasiAlbert(700, m0=6, m=6, seed=9)
+    G.estimate_lmax()
+    W = G.W.tocsr()
+    dw = np.ravel(W.sum(axis=1)).astype(np.float32)
+    Wneg = W.copy().astype(np.float32)
+    Wneg.data = -Wneg.data
+    H = cw.windowed_from_scipy(Wneg, chunk_rows=256, window_rows=64)
+    L = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
+                    lap_type='combinatorial')
+    x = jnp.asarray(rng.normal(size=(G.N, 4)).astype(np.float32))
+    g = gsp.filters.Heat(G, scale=[5.0, 25.0])
+    c = cheby.cheby_coeff(g.evaluate, G.lmax, m=30, dtype=jnp.float32)
+
+    ref = np.asarray(cheby.cheby_op(L, G.lmax, c, x))
+    out = np.asarray(cheby.cheby_op(L, G.lmax, c, x,
+                                    carry_dtype=jnp.bfloat16))
+    assert out.dtype == np.float32          # accumulators stay f32
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    # measured ~3-6e-3 on the BASELINE banks (BF16_ERRORS_r3.json);
+    # pin at 2x headroom
+    assert rel < 1.5e-2, rel
+
+    # bf16 synthesis path
+    bank = jnp.asarray(rng.normal(size=(G.N, 3, 2)).astype(np.float32))
+    sref = np.asarray(cheby.cheby_synthesis(L, G.lmax, c, bank))
+    sout = np.asarray(cheby.cheby_synthesis(L, G.lmax, c, bank,
+                                            carry_dtype=jnp.bfloat16))
+    assert np.abs(sout - sref).max() / np.abs(sref).max() < 1.5e-2
+
+    # carry_dtype == signal dtype is the identity configuration
+    same = np.asarray(cheby.cheby_op(L, G.lmax, c, x,
+                                     carry_dtype=jnp.float32))
+    assert np.array_equal(same, ref)
+
+
+def test_bf16_carry_gate(rng):
+    """Slowly-decaying banks are refused at the default tolerance, with
+    carry_tol as the explicit override; plain formats reject the knob."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+    import pygsp_tpu as gsp
+    from pygsp_tpu.core import windowed as cw
+    from pygsp_tpu.core.operators import LaplacianOp
+    from pygsp_tpu.ops import chebyshev as cheby
+
+    G = gsp.graphs.BarabasiAlbert(300, m0=4, m=4, seed=2)
+    G.estimate_lmax()
+    W = G.W.tocsr()
+    dw = np.ravel(W.sum(axis=1)).astype(np.float32)
+    Wneg = W.copy().astype(np.float32)
+    Wneg.data = -Wneg.data
+    H = cw.windowed_from_scipy(Wneg, chunk_rows=256, window_rows=64)
+    L = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
+                    lap_type='combinatorial')
+    x = jnp.asarray(rng.normal(size=(G.N, 2)).astype(np.float32))
+
+    rect = gsp.filters.Rectangular(G, band_min=0.1, band_max=0.3)
+    c = cheby.cheby_coeff(rect.evaluate, G.lmax, m=30, dtype=jnp.float32)
+    est = cheby.carry_error_estimate(c, jnp.bfloat16)
+    assert est > 0.05          # this bank must trip the default gate
+    with _pytest.raises(ValueError, match='refused'):
+        cheby.cheby_op(L, G.lmax, c, x, carry_dtype=jnp.bfloat16)
+    # explicit override runs
+    out = cheby.cheby_op(L, G.lmax, c, x, carry_dtype=jnp.bfloat16,
+                         carry_tol=1.0)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # plain (non-chunked) formats refuse the knob outright
+    with _pytest.raises(ValueError, match='chunked/windowed'):
+        cheby.cheby_op(G.L, G.lmax, jnp.asarray(c, jnp.float64),
+                       jnp.asarray(np.asarray(x), jnp.float64),
+                       carry_dtype=jnp.bfloat16)
+
+
+def test_bf16_carry_filter_api(rng):
+    """Filter.filter(carry_dtype=...) end-to-end on a windowed graph."""
+    import jax.numpy as jnp
+    import pygsp_tpu as gsp
+
+    G = gsp.graphs.BarabasiAlbert(600, m0=5, m=5, seed=4)
+    G.estimate_lmax()
+    G.compute_laplacian('combinatorial', fmt='windowed')
+    g = gsp.filters.Heat(G, scale=[5.0, 20.0])
+    s = rng.normal(size=(G.N,)).astype(np.float32)
+    ref = np.asarray(g.filter(s, order=30))
+    out = np.asarray(g.filter(s, order=30, carry_dtype=jnp.bfloat16))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1.5e-2
+
+
+def test_bf16_carry_bound_holds():
+    """The a-priori gate estimate sizes the measured bf16 bank error
+    (BASELINE config 1: Logo + Heat(50), K=30 — the measured curves for
+    all 4 configs live in BF16_ERRORS_r3.json). The estimate is a
+    sizing bound, not a worst-case proof, so allow a 1.5x factor; a
+    LOCAL rng keeps the draw independent of test order."""
+    rng = np.random.default_rng(1234)
+    import jax.numpy as jnp
+    import pygsp_tpu as gsp
+    from pygsp_tpu.core import windowed as cw
+    from pygsp_tpu.core.operators import LaplacianOp
+    from pygsp_tpu.ops import chebyshev as cheby
+
+    G = gsp.graphs.Logo()
+    G.estimate_lmax()
+    W = G.W.tocsr()
+    dw = np.ravel(W.sum(axis=1)).astype(np.float32)
+    Wneg = W.copy().astype(np.float32)
+    Wneg.data = -Wneg.data
+    H = cw.windowed_from_scipy(Wneg, chunk_rows=512, window_rows=64)
+    L = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
+                    lap_type='combinatorial')
+    g = gsp.filters.Heat(G, scale=50)
+    c = cheby.cheby_coeff(g.evaluate, G.lmax, m=30, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(G.N, 4)).astype(np.float32))
+
+    ref = np.asarray(cheby.cheby_op(L, G.lmax, c, x), np.float64)
+    out = np.asarray(cheby.cheby_op(L, G.lmax, c, x,
+                                    carry_dtype=jnp.bfloat16), np.float64)
+    measured = np.abs(out - ref).max() / np.abs(ref).max()
+    bound = cheby.carry_error_estimate(c, jnp.bfloat16)
+    assert measured <= 1.5 * bound, (measured, bound)
+    # and the measured error itself stays in the documented budget
+    assert measured < 2.5e-2, measured
