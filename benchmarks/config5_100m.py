@@ -33,7 +33,7 @@ import scipy.sparse as sps
 
 sys.path.insert(0, '/root/repo')
 
-N = 1 << 22
+N = int(os.environ.get('CONFIG5_N', 1 << 22))   # bisect knob
 M_ATTACH = 24
 K = 30
 CACHE = '/root/repo/.bench_cache'
@@ -149,8 +149,22 @@ def main():
     # ladder: best candidate first. bf16 carry halves gather bytes and
     # term-buffer memory (acc stays f32 via preferred_element_type); g is
     # the Chebyshev accumulator group (benchmarks/accgroup_sweep.py).
-    ladder = [(128, jnp.bfloat16, jnp.bfloat16, g) for g in (4, 3, 2, 1)]
-    ladder += [(128, jnp.bfloat16, None, 1), (128, jnp.float32, None, 1)]
+    # argv[1] = "vals,carry,g" (e.g. "bf16,bf16,1") pins ONE candidate —
+    # crash isolation: an over-budget execution kills the TPU worker and
+    # every later candidate in the same process (measured: the g=2
+    # candidate at 13.72 effective GB crashed the worker despite passing
+    # the 15.2 gate, so the true execution budget on this chip is below
+    # 13.7 and the gate below is set under the measured crash point).
+    def cand(spec):
+        v, ca, g = spec.split(',')
+        dt = {'bf16': jnp.bfloat16, 'f32': jnp.float32}
+        return (128, dt[v], dt.get(ca), int(g))
+
+    if len(sys.argv) > 1:
+        ladder = [cand(sys.argv[1])]
+    else:
+        ladder = [(128, jnp.bfloat16, jnp.bfloat16, 1),
+                  (128, jnp.bfloat16, None, 1), (128, jnp.float32, None, 1)]
     for S, val_dtype, carry, g in ladder:
         os.environ['PYGSP_CHEBY_ACC_GROUP'] = str(g)
         tagd = dict(S=S, nf=1, K=K, vals=str(np.dtype(val_dtype)),
@@ -183,7 +197,7 @@ def main():
                 eff_gb = 0.0
             emit(tag='config5_compile', compile_s=round(comp_s, 1),
                  **tagd, **mem)
-            if eff_gb > 15.2:
+            if eff_gb > 13.5:
                 # executing an over-budget program CRASHES the TPU worker
                 # (and every later ladder candidate with it) — record the
                 # fit boundary and move on
@@ -223,7 +237,8 @@ def main():
             # BASELINE metric) and at the mode's own gather bytes
             read_bw = 160e9
             f32_bytes = K * (nnz * (4 * S + 8) + N * S * 4)
-            sig_b = 2 if carry is not None else 4
+            sig_b = (np.dtype(carry).itemsize if carry is not None
+                     else np.dtype(np.float32).itemsize)
             val_b = np.dtype(val_dtype).itemsize
             own_bytes = K * (nnz * (sig_b * S + 4 + 1 + val_b)
                              + N * S * 4)
