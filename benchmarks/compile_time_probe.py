@@ -27,8 +27,9 @@ import scipy.sparse as sps
 sys.path.insert(0, __file__.rsplit('/', 2)[0])
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else 'scan'
-if MODE == 'unroll':
-    os.environ['PYGSP_CHEBY_GROUP_UNROLL'] = '1'
+# unrolled is the library default since the A/B (13% throughput edge);
+# 'scan' probes the fast-compile opt-in body
+os.environ['PYGSP_CHEBY_GROUP_UNROLL'] = '1' if MODE == 'unroll' else '0'
 
 N = 1 << 20
 K = 30

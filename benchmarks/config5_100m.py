@@ -109,7 +109,15 @@ def main():
     from pygsp_tpu.core.operators import LaplacianOp
     from pygsp_tpu.ops import chebyshev as cheby
 
-    os.environ.setdefault('PYGSP_WINDOWED_BODY_MB', '512')
+    # Round 2 capped the windowed scan body at 512 MB to fit; that forced
+    # nw_sub=128/64 window groups whose ~1 MB per-src-chunk gathers go
+    # LATENCY-bound — the real cause of round 2's 33%-of-roofline result
+    # (measured sweep at N=2^22, bf16 carry: nw_sub 64 -> 36%, 256 ->
+    # 70.2%, 512 -> 86.9%, 1024 -> 86.6%; f32 carry at 512 -> 65.0%).
+    # nw_sub=128 at this scale crashes the TPU worker (isolated shape
+    # fault — 64, 256, 512, 1024 all execute). The dtype-aware body
+    # estimate at the library-default 2048 MB cap now picks 512 for both
+    # carry dtypes; PYGSP_WINDOW_STEP overrides for probes.
 
     log(f'device: {jax.devices()[0]}')
     src, tgt = get_graph()

@@ -211,10 +211,19 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
     else:
         cap = float(os.environ.get('PYGSP_WINDOWED_BODY_MB', 2048)) * 2**20
         spad = -(-S // 128) * 128
+        # dtype-aware: the stacked products/one-hot live in the PRODUCT
+        # dtype (bf16 carry halves them), the fold output buffers in the
+        # accumulation dtype. Sub-chunking below ~256 windows is
+        # expensive at large n_src — each per-src-chunk gather shrinks
+        # to ~1 MB and goes latency-bound (measured at config-5 scale:
+        # nw_sub 64 -> 36% of roofline, 256 -> 70%, 512 -> 87%), so the
+        # estimate must not over-shrink when the carry is narrow.
+        pb = jnp.dtype(pdt).itemsize
+        ob = jnp.dtype(dt).itemsize
 
         def est(nws):
-            return 4.0 * nws * (n_src * L * (spad + 2 * P)
-                                + 8 * P * spad)
+            return float(nws) * (n_src * L * (spad + 2 * P) * pb
+                                 + 8 * P * spad * ob)
 
         while nw_sub > 1 and nw_sub % 2 == 0 and est(nw_sub) > cap:
             nw_sub //= 2

@@ -269,15 +269,18 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array,
             t_old, t_cur = t_cur, t_new
         cg = c[:, 2 + rem % g:].T.reshape(-1, g, nf)   # (n_groups, g, nf)
 
-        # The g recurrence steps of each group run as an INNER scan whose
-        # stacked outputs feed ONE accumulator contraction per chunk —
-        # the g term buffers were materialized either way, but tracing
-        # recur once instead of g times cuts the program (and fresh
-        # XLA compile) by ~g at unchanged HBM traffic (VERDICT r2 #5;
-        # round-2's unrolled body compiled in 177 s at the bench
-        # config). PYGSP_CHEBY_GROUP_UNROLL=1 restores the unrolled
-        # body for A/B probes.
-        unroll_group = os.environ.get('PYGSP_CHEBY_GROUP_UNROLL') == '1'
+        # Group-body mode, A/B'd on-chip at the bench config with a cold
+        # XLA cache (benchmarks/compile_time_probe.py -> COMPILE_r3.json):
+        # the UNROLLED g-step body runs 2448 ms/bank and compiles in 59 s
+        # at g=14 (38 s at g=7); the inner-scan body traces `recur` once
+        # and compiles 3x faster (21 s) but pays 13% throughput
+        # (2764 ms) — the stacked terms round-trip the scan carry instead
+        # of fusing into the accumulator contraction. Default: unrolled
+        # (throughput first; the persistent XLA cache makes repeat
+        # compiles seconds). PYGSP_CHEBY_GROUP_UNROLL=0 opts into the
+        # fast-compile scan body for iteration-heavy workflows.
+        unroll_group = os.environ.get('PYGSP_CHEBY_GROUP_UNROLL',
+                                      '1') != '0'
 
         def step(carry, ckg):
             t_old, t_cur, acc = carry
