@@ -121,7 +121,25 @@ def main():
         return t_step / (t_step + max(0.0, t_comm - OVERLAP * t_step)), \
             t_comm
 
-    ns = [2, 4, 8, 16]
+    def mesh_2d(n):
+        """Near-square (pr, pc) factorization for the 2-D edge partition."""
+        pr = 1 << int(np.ceil(np.log2(n) / 2))
+        return pr, n // pr
+
+    def efficiency_2d(n, bytes_per_val, w_link=W_LINK):
+        """2-D edge partition (parallel/twod.py): per-chip traffic per
+        step is (pr-1 + pc-1) * N_local rows — GRAPH-INDEPENDENT — via
+        ring all_gather('row') + psum_scatter('col'), both bandwidth-
+        optimal (each chip pushes its whole payload through one link:
+        no hop amplification). Conservatively NO overlap credit: the
+        gather sits on the critical path of the current implementation
+        (only the diagonal term is independent of it)."""
+        pr, pc = mesh_2d(n)
+        rows = (pr - 1 + pc - 1) * N_local
+        t_comm = rows * S_SIGNALS * bytes_per_val / w_link
+        return t_step / (t_step + t_comm), t_comm, rows
+
+    ns = [2, 4, 8, 16, 64]
     out = {
         'metric': 'predicted_weak_scaling_efficiency',
         'model': 'eff(n) = t_step / (t_step + max(0, t_comm(n) - '
@@ -165,6 +183,15 @@ def main():
             efficiency(n, 2, hops_ring, W_LINK * 0.5)[0], 3)
         row['eff_bf16_ring_Wx2'] = round(
             efficiency(n, 2, hops_ring, W_LINK * 2)[0], 3)
+        # 2-D edge partition (structure-independent comm)
+        pr, pc = mesh_2d(n)
+        row['mesh_2d'] = f'{pr}x{pc}'
+        for label, b in (('f32', 4), ('bf16_carry', 2)):
+            eff2d, tc2d, rows2d = efficiency_2d(n, b)
+            row[f'eff_2d_{label}'] = round(eff2d, 3)
+        row['comm_rows_2d_per_chip'] = rows2d
+        row['eff_2d_bf16_Wx0.5'] = round(
+            efficiency_2d(n, 2, W_LINK * 0.5)[0], 3)
         out['predictions'].append(row)
 
     # SBM-1M block-local secondary case: measured per-chip halo at 8
@@ -198,7 +225,14 @@ def main():
         'link bandwidth; f32 payload is marginal at 8 (ring). The binding '
         'constraint is hop-amplified ICI volume on expander graphs — '
         'partitioning cannot reduce pair counts (PARTITION_r3.json '
-        'decomposition), so payload bytes and topology are the levers.')
+        'decomposition), so payload bytes and topology are the levers. '
+        'Beyond the 1-D crossover the 2-D edge partition '
+        '(parallel/twod.py) takes over: its per-chip traffic is '
+        'graph-independent at (pr+pc-2)*N_local rows over bandwidth-'
+        'optimal ring collectives, so on BA it overtakes the 1-D halo '
+        'between 16 and 64 chips (bf16 torus at 64: 1-D 0.44 vs 2-D '
+        '0.66) and degrades like 1/sqrt(n) where the 1-D path collapses '
+        'linearly.')
 
     with open(os.path.join(REPO, 'SCALING_r3.json'), 'w') as f:
         json.dump(out, f, indent=1)

@@ -18,6 +18,8 @@ from pygsp_tpu.parallel.windowed_shards import (ShardedWindowed,
 from pygsp_tpu.parallel.launch import (global_mesh, initialize,
                                        load_edge_shard, process_shard_range,
                                        put_sharded_graph)
+from pygsp_tpu.parallel.twod import (TwoDGraph, cheby_op_2d, make_mesh_2d,
+                                     matvec_2d, partition_graph_2d)
 
 __all__ = ['ShardedGraph', 'ShardedELL', 'ShardedWindowed',
            'cluster_shards',
@@ -25,4 +27,6 @@ __all__ = ['ShardedGraph', 'ShardedELL', 'ShardedWindowed',
            'sharded_matvec', 'sharded_cheby_op',
            'sharded_cheby_op_fixed_graph', 'sharded_cheby_synthesis',
            'make_mesh', 'initialize', 'global_mesh', 'process_shard_range',
-           'load_edge_shard', 'put_sharded_graph']
+           'load_edge_shard', 'put_sharded_graph',
+           'TwoDGraph', 'partition_graph_2d', 'make_mesh_2d', 'matvec_2d',
+           'cheby_op_2d']

@@ -1,0 +1,318 @@
+"""2-D edge-partitioned spectral ops: structure-independent comm bounds.
+
+The 1-D vertex partition (:mod:`pygsp_tpu.parallel.partition`) ships each
+shard the remote rows its edges reference — on expander-like graphs
+(Barabási–Albert and friends) that halo saturates near the full vertex set
+per shard, so total traffic grows like ``p · N`` rows per Chebyshev step
+(``PARTITION_r3.json``: no vertex partition can localize it — ~2/3 of the
+halo pairs are low-degree columns).
+
+This module is the classical answer: partition the EDGES over a 2-D
+``(row, col)`` device mesh. Vertices are split into ``p = pr·pc`` slices;
+device ``(i, j)`` owns the Laplacian block ``L[R_i, C_j]`` where the row
+group ``R_i`` is the union of slices ``{(i, j') : j'}`` and the column
+group ``C_j`` is ``{(i', j) : i'}``. One matvec is then
+
+1. ``all_gather`` of the local ``x`` slice along the mesh **row** axis —
+   every device in mesh column ``j`` assembles ``x[C_j]``,
+2. a local SpMM ``L[R_i, C_j] @ x[C_j]`` (no structure-dependent
+   indexing across devices at all),
+3. ``psum_scatter`` of the partial products along the mesh **col** axis —
+   the sum over ``j`` lands scattered back onto the owning slices.
+
+Per-device traffic per step is ``(pr - 1 + pc - 1) · N/p`` rows —
+**independent of the graph**, ≈ ``2N/√p`` at a square mesh — versus the
+1-D halo's ~``0.6·N`` per shard on BA at any p ≥ 8. Both collectives are
+bandwidth-optimal ring primitives on an ICI torus. Crossover on expanders
+is at ~p = 8–16; beyond it 2-D wins like ``√p`` (see ``SCALING_r3.json``).
+
+The reference is single-process (SURVEY §2.6) — this, like the 1-D path,
+is a new-first-class component with no reference analogue; the math
+contract is ``cheby_op`` (``pygsp/filters/approximations.py:58-114``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=['rows', 'cols', 'vals', 'diag', 'perm'],
+         meta_fields=['pr', 'pc', 'n_local', 'n_vertices', 'lap_type'])
+@dataclasses.dataclass(frozen=True)
+class TwoDGraph:
+    """Stacked per-device edge blocks (leading axis = device, row-major
+    over the ``(row, col)`` mesh: device ``(i, j)`` is index ``i·pc + j``).
+
+    rows: (P, E) int32 — row of each edge within its device's row group
+        ``R_i``, laid out as ``[slice (i,0) ‖ slice (i,1) ‖ ...]`` so the
+        ``psum_scatter`` along 'col' drops each chunk on its owner
+        (``pc·n_local`` ⇒ padding, dropped by the segment-sum).
+    cols: (P, E) int32 — column within the column group ``C_j``, laid out
+        in mesh-row order (the ``all_gather('row')`` concatenation order).
+    vals: (P, E) — Laplacian off-diagonal values.
+    diag: (P, n_local) — Laplacian diagonal, on the x distribution.
+    perm: (N,) int32 — original vertex id → padded position.
+    """
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    diag: jax.Array
+    perm: jax.Array
+    pr: int
+    pc: int
+    n_local: int
+    n_vertices: int
+    lap_type: str
+
+    @property
+    def n_devices(self) -> int:
+        return self.pr * self.pc
+
+    @property
+    def n_padded(self) -> int:
+        return self.n_devices * self.n_local
+
+    @property
+    def comm_rows_per_step(self) -> int:
+        """Rows moved per device per matvec (all_gather + psum_scatter) —
+        graph-independent, the point of the 2-D layout."""
+        return (self.pr - 1 + self.pc - 1) * self.n_local
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def pad_signal(self, x):
+        """Host helper: reorder + zero-pad (N, ...) → (P·n_local, ...)."""
+        x = np.asarray(x)
+        out = np.zeros((self.n_padded,) + x.shape[1:], dtype=x.dtype)
+        out[np.asarray(self.perm)] = x
+        return jnp.asarray(out)
+
+    def unpad_signal(self, y):
+        return jnp.asarray(y)[jnp.asarray(self.perm)]
+
+
+def make_mesh_2d(pr: int, pc: int, devices=None) -> Mesh:
+    """('row', 'col') mesh over the first pr·pc devices."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:pr * pc]).reshape(pr, pc)
+    return Mesh(devices, ('row', 'col'))
+
+
+def partition_graph_2d(W, pr: int, pc: int,
+                       lap_type: str = 'combinatorial',
+                       reorder: str = 'none',
+                       dtype=None) -> TwoDGraph:
+    """Partition a symmetric scipy adjacency into 2-D edge blocks.
+
+    Vertices are split into ``pr·pc`` nnz-balanced contiguous slices of the
+    (optionally reordered) vertex sequence; edge ``(u, v)`` lands on device
+    ``(i_u, j_v)`` — the block row of ``u``'s slice × the block column of
+    ``v``'s slice. ``reorder`` as in :func:`partition_graph` ('none',
+    'rcm', 'cluster'); for the 2-D layout the ordering only affects edge
+    *balance* across blocks, never communication volume (which is fixed at
+    ``(pr+pc-2)·n_local`` rows/device/step by construction).
+    """
+    from pygsp_tpu.parallel.partition import cluster_shards
+
+    W = sps.csr_matrix(W)
+    N = W.shape[0]
+    p = pr * pc
+    if dtype is None:
+        dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+
+    if reorder == 'rcm':
+        order = sps.csgraph.reverse_cuthill_mckee(W, symmetric_mode=True)
+    elif reorder == 'none':
+        order = np.arange(N)
+    elif reorder == 'cluster':
+        labels = cluster_shards(W, p)
+        order = np.argsort(labels, kind='stable')
+    else:
+        raise ValueError(f'Unknown reorder {reorder!r}')
+    Wp = W[order][:, order].tocsr()
+
+    # nnz-balanced contiguous slices (same rule as the 1-D partitioner)
+    deg_rank = np.diff(Wp.indptr)
+    cum = np.cumsum(deg_rank + 1)
+    targets = cum[-1] / p * np.arange(1, p)
+    bounds = np.concatenate(
+        [[0], np.searchsorted(cum, targets, side='left'), [N]]
+    ).astype(np.int64)
+    bounds = np.maximum.accumulate(bounds)
+    range_len = np.diff(bounds)
+    n_local = max(_round_up(int(range_len.max()), 8), 8)
+
+    slice_of_rank = np.searchsorted(bounds, np.arange(N), side='right') - 1
+    pos_of_rank = (slice_of_rank * n_local
+                   + np.arange(N) - bounds[slice_of_rank])
+    perm = np.empty(N, dtype=np.int64)
+    perm[order] = pos_of_rank
+
+    dw = np.ravel(Wp.sum(axis=1))
+    coo = Wp.tocoo()
+    if lap_type == 'combinatorial':
+        vals_all = -coo.data.astype(dtype)
+        diag_all = dw.astype(dtype)
+    elif lap_type == 'normalized':
+        d = np.where(dw > 0, dw, 1.0) ** -0.5
+        d = np.where(dw > 0, d, 0.0)
+        vals_all = (-coo.data * d[coo.row] * d[coo.col]).astype(dtype)
+        diag_all = np.where(dw > 0, 1.0, 0.0).astype(dtype)
+    else:
+        raise ValueError(f'Unknown lap_type {lap_type!r}')
+
+    q_row = pos_of_rank[coo.row]
+    q_col = pos_of_rank[coo.col]
+    s_row, r_row = q_row // n_local, q_row % n_local
+    s_col, r_col = q_col // n_local, q_col % n_local
+    dev = (s_row // pc) * pc + (s_col % pc)        # (i_u, j_v), row-major
+    row_local = (s_row % pc) * n_local + r_row      # position within R_i
+    col_local = (s_col // pc) * n_local + r_col     # position within C_j
+
+    counts = np.bincount(dev, minlength=p)
+    E = max(_round_up(int(counts.max()), 1024), 1024)
+    n_row_ext = pc * n_local                        # segment-sum range
+    rows_arr = np.full((p, E), n_row_ext, dtype=np.int32)   # pad ⇒ dropped
+    cols_arr = np.zeros((p, E), dtype=np.int32)
+    vals_arr = np.zeros((p, E), dtype=dtype)
+    dev_order = np.lexsort((row_local, dev))
+    dev_s = dev[dev_order]
+    starts = np.searchsorted(dev_s, np.arange(p))
+    ends = np.searchsorted(dev_s, np.arange(p), side='right')
+    for d_ in range(p):
+        sl = dev_order[starts[d_]:ends[d_]]
+        ne = len(sl)
+        rows_arr[d_, :ne] = row_local[sl]
+        cols_arr[d_, :ne] = col_local[sl]
+        vals_arr[d_, :ne] = vals_all[sl]
+
+    flat = np.zeros(p * n_local, dtype=dtype)
+    flat[pos_of_rank] = diag_all
+    diag_arr = flat.reshape(p, n_local)
+
+    return TwoDGraph(
+        rows=jnp.asarray(rows_arr), cols=jnp.asarray(cols_arr),
+        vals=jnp.asarray(vals_arr), diag=jnp.asarray(diag_arr),
+        perm=jnp.asarray(perm, jnp.int32),
+        pr=pr, pc=pc, n_local=n_local, n_vertices=N, lap_type=lap_type)
+
+
+def _matvec_2d(rows, cols, vals, diag, x_local, *, pc, n_local,
+               scale=None, shift=None):
+    """One Laplacian matvec inside the ('row', 'col') shard_map.
+
+    Computes ``scale · (L − shift·I) @ x`` on the x distribution.
+    ``x_local``: (n_local, ...) — this device's slice (possibly a
+    reduced-precision carry); row sums and the diagonal term accumulate in
+    the diag dtype (f32/f64), matching the single-chip carry contract.
+    """
+    with jax.named_scope('allgather_colgroup'):
+        xg = jax.lax.all_gather(x_local, 'row', axis=0, tiled=True)
+    gathered = xg[cols]                             # (E, ...)
+    v = vals.reshape((-1,) + (1,) * (x_local.ndim - 1))
+    contrib = (v * gathered).astype(diag.dtype)
+    y_part = jax.ops.segment_sum(contrib, rows,
+                                 num_segments=pc * n_local,
+                                 indices_are_sorted=True)
+    with jax.named_scope('psum_scatter_rowgroup'):
+        off = jax.lax.psum_scatter(y_part, 'col', scatter_dimension=0,
+                                   tiled=True)     # (n_local, ...)
+    d = diag if shift is None else diag - shift
+    db = d.reshape((-1,) + (1,) * (x_local.ndim - 1))
+    y = db * x_local.astype(diag.dtype) + off
+    if scale is not None:
+        y = scale * y
+    return y
+
+
+def matvec_2d(tg: TwoDGraph, x, mesh: Mesh):
+    """``L @ x`` with x of shape (P·n_local, ...) sharded over both axes."""
+
+    def body(rows, cols, vals, diag, x_local):
+        return _matvec_2d(rows[0], cols[0], vals[0], diag[0], x_local,
+                          pc=tg.pc, n_local=tg.n_local)
+
+    gspec = P(('row', 'col'))
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(gspec, gspec, gspec, gspec, gspec),
+        out_specs=gspec)
+    return f(tg.rows, tg.cols, tg.vals, tg.diag, x)
+
+
+def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh,
+                carry_dtype=None, carry_tol=None):
+    """Chebyshev filter bank on the 2-D edge partition.
+
+    Same math as :func:`pygsp_tpu.ops.chebyshev.cheby_op` (reference
+    contract ``approximations.py:58-114``); ``c``: (Nf, m+1), ``x``:
+    (P·n_local, ...) sharded over both mesh axes on the vertex dim.
+    Returns (Nf, P·n_local, ...).
+
+    ``carry_dtype`` (opt-in, e.g. ``jnp.bfloat16``): the recurrence terms
+    — and therefore the per-step ``all_gather`` payload and local gather —
+    move at half bytes; partial-product accumulation, ``psum_scatter`` and
+    the filter accumulators stay in the signal dtype. Gated by the same
+    a-priori bound as the single-chip path.
+    """
+    c = jnp.atleast_2d(c)
+    nf, m1 = c.shape
+    lmax = jnp.asarray(lmax, dtype=tg.dtype)
+    cdt = jnp.dtype(carry_dtype) if carry_dtype is not None else None
+    if cdt is not None and not isinstance(c, jax.core.Tracer):
+        from pygsp_tpu.ops.chebyshev import _check_carry_budget
+        _check_carry_budget(c, cdt, carry_tol)
+
+    def body(rows, cols, vals, diag, c, lmax, x_local):
+        rows, cols, vals, diag = rows[0], cols[0], vals[0], diag[0]
+        a1 = lmax / 2
+        a2 = lmax / 2
+        mv = partial(_matvec_2d, rows, cols, vals, diag,
+                     pc=tg.pc, n_local=tg.n_local)
+
+        def cast(t):
+            return t if cdt is None else t.astype(cdt)
+
+        bshape = (nf,) + (1,) * x_local.ndim
+        t_old = cast(x_local)
+        t_cur_f = (mv(t_old) - a2 * x_local) / a1
+        acc = (0.5 * c[:, 0].reshape(bshape) * x_local[None]
+               + c[:, 1].reshape(bshape) * t_cur_f[None])
+        t_cur = cast(t_cur_f)
+
+        if m1 > 2:
+            def step(carry, ck):
+                t_old, t_cur, acc = carry
+                t_new_f = (mv(t_cur, scale=2.0 / a1, shift=a2)
+                           - t_old.astype(acc.dtype))
+                acc = acc + ck.reshape(bshape) * t_new_f[None]
+                return (t_cur, cast(t_new_f), acc), None
+
+            (_, _, acc), _ = jax.lax.scan(step, (t_old, t_cur, acc),
+                                          c[:, 2:].T)
+        return acc
+
+    gspec = P(('row', 'col'))
+    xspec = P(('row', 'col'), *(None,) * (np.ndim(x) - 1))
+    ospec = P(None, ('row', 'col'), *(None,) * (np.ndim(x) - 1))
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(gspec, gspec, gspec, gspec, P(), P(), xspec),
+        out_specs=ospec)
+    return f(tg.rows, tg.cols, tg.vals, tg.diag, c, lmax, x)

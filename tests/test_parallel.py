@@ -374,3 +374,76 @@ def test_sharded_bf16_carry(problem):
     assert out.dtype == np.float32
     rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert rel < 1.5e-2, rel
+
+
+# --- 2-D edge partition (structure-independent comm) -----------------------
+
+@requires_multi
+@pytest.mark.parametrize('pr,pc', [(2, 2), (4, 2)])
+def test_2d_matvec_matches(problem, pr, pc):
+    from pygsp_tpu.parallel import make_mesh_2d, matvec_2d, partition_graph_2d
+    G, x, lap_type = problem
+    tg = partition_graph_2d(G.W, pr, pc, lap_type=lap_type)
+    assert tg.comm_rows_per_step == (pr + pc - 2) * tg.n_local
+    mesh = make_mesh_2d(pr, pc)
+    xp = tg.pad_signal(x)
+    y = matvec_2d(tg, xp, mesh)
+    got = np.asarray(tg.unpad_signal(y))
+    want = np.asarray(matvec(G.L, jnp.asarray(x)))
+    assert np.allclose(got, want, atol=1e-10)
+
+
+@requires_multi
+def test_2d_cheby_matches(problem):
+    from pygsp_tpu.parallel import cheby_op_2d, make_mesh_2d, partition_graph_2d
+    G, x, lap_type = problem
+    G.estimate_lmax()
+    g = gsp.filters.Heat(G, scale=[5, 20])
+    c = cheby.cheby_coeff(g.evaluate, G.lmax, m=30)
+    ref = np.asarray(cheby.cheby_op(G.L, G.lmax, c, jnp.asarray(x)))
+
+    tg = partition_graph_2d(G.W, 2, 2, lap_type=lap_type, reorder='cluster')
+    mesh = make_mesh_2d(2, 2)
+    xp = tg.pad_signal(x)
+    out = cheby_op_2d(tg, G.lmax, c, xp, mesh)
+    got = np.stack([np.asarray(tg.unpad_signal(out[f]))
+                    for f in range(out.shape[0])])
+    assert np.allclose(got, ref, atol=1e-9)
+
+
+@requires_multi
+def test_2d_autodiff_and_bf16(problem):
+    """grad flows through all_gather/psum_scatter; bf16 carry stays in
+    the measured budget (same gate as the 1-D and single-chip paths)."""
+    from pygsp_tpu.parallel import cheby_op_2d, make_mesh_2d, partition_graph_2d
+    G, x, lap_type = problem
+    G.estimate_lmax()
+    g = gsp.filters.Heat(G, scale=[5, 20])
+    c = cheby.cheby_coeff(g.evaluate, G.lmax, m=12)
+    Lop = G.L
+
+    tg = partition_graph_2d(G.W, 2, 2, lap_type=lap_type)
+    mesh = make_mesh_2d(2, 2)
+    xp = tg.pad_signal(x)
+    perm = np.asarray(tg.perm)
+
+    def loss_sh(x_):
+        return jnp.sum(cheby_op_2d(tg, G.lmax, c, x_, mesh) ** 2)
+
+    def loss_ref(x_):
+        return jnp.sum(cheby.cheby_op(Lop, G.lmax, c, x_) ** 2)
+
+    g_sh = np.asarray(jax.grad(loss_sh)(xp))[perm]
+    g_ref = np.asarray(jax.grad(loss_ref)(jnp.asarray(x)))
+    assert np.allclose(g_sh, g_ref, atol=1e-7 * max(1, np.abs(g_ref).max()))
+
+    c32 = c.astype(jnp.float32)
+    xp32 = tg.pad_signal(x.astype(np.float32))
+    tg32 = partition_graph_2d(G.W, 2, 2, lap_type=lap_type,
+                              dtype=np.float32)
+    ref32 = np.asarray(cheby_op_2d(tg32, G.lmax, c32, xp32, mesh))
+    out16 = np.asarray(cheby_op_2d(tg32, G.lmax, c32, xp32, mesh,
+                                   carry_dtype=jnp.bfloat16))
+    assert out16.dtype == np.float32
+    rel = np.abs(out16 - ref32).max() / np.abs(ref32).max()
+    assert rel < 1.5e-2, rel
