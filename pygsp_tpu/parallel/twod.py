@@ -213,23 +213,51 @@ def partition_graph_2d(W, pr: int, pc: int,
         pr=pr, pc=pc, n_local=n_local, n_vertices=N, lap_type=lap_type)
 
 
+def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
+                        chunk_rows=None, slab_width=None, hub_degree=None):
+    """Windowed-compact layout of every device's edge block (the
+    single-chip hot-path format, :mod:`pygsp_tpu.core.windowed`) for the
+    local SpMM inside :func:`cheby_op_2d` — scatter-free slab gathers +
+    one-hot MXU fold instead of the COO segment-sum (which XLA serializes
+    on power-law hub rows). Shapes are unified across devices by the same
+    pooled-width/sentinel-tier machinery as the 1-D path."""
+    from pygsp_tpu.core.windowed import WINDOW_ROWS
+    from pygsp_tpu.parallel.windowed_shards import _build
+    rows = np.asarray(tg.rows)
+    cols = np.asarray(tg.cols)
+    vals = np.asarray(tg.vals)
+    n_row_ext = tg.pc * tg.n_local
+    parts = []
+    for d_ in range(tg.n_devices):
+        real = rows[d_] < n_row_ext
+        parts.append((rows[d_][real], cols[d_][real], vals[d_][real]))
+    return _build(n_row_ext, vals.dtype, parts, tg.pr * tg.n_local,
+                  window_rows or WINDOW_ROWS, chunk_rows, slab_width,
+                  hub_degree)
+
+
 def _matvec_2d(rows, cols, vals, diag, x_local, *, pc, n_local,
-               scale=None, shift=None):
+               ell=None, scale=None, shift=None):
     """One Laplacian matvec inside the ('row', 'col') shard_map.
 
     Computes ``scale · (L − shift·I) @ x`` on the x distribution.
     ``x_local``: (n_local, ...) — this device's slice (possibly a
     reduced-precision carry); row sums and the diagonal term accumulate in
     the diag dtype (f32/f64), matching the single-chip carry contract.
+    With ``ell`` (this device's :func:`twod_local_windowed` slice) the
+    local block SpMM runs the windowed-compact fast path.
     """
     with jax.named_scope('allgather_colgroup'):
         xg = jax.lax.all_gather(x_local, 'row', axis=0, tiled=True)
-    gathered = xg[cols]                             # (E, ...)
-    v = vals.reshape((-1,) + (1,) * (x_local.ndim - 1))
-    contrib = (v * gathered).astype(diag.dtype)
-    y_part = jax.ops.segment_sum(contrib, rows,
-                                 num_segments=pc * n_local,
-                                 indices_are_sorted=True)
+    if ell is not None:
+        y_part = ell.local_spmm(xg).astype(diag.dtype)
+    else:
+        gathered = xg[cols]                         # (E, ...)
+        v = vals.reshape((-1,) + (1,) * (x_local.ndim - 1))
+        contrib = (v * gathered).astype(diag.dtype)
+        y_part = jax.ops.segment_sum(contrib, rows,
+                                     num_segments=pc * n_local,
+                                     indices_are_sorted=True)
     with jax.named_scope('psum_scatter_rowgroup'):
         off = jax.lax.psum_scatter(y_part, 'col', scatter_dimension=0,
                                    tiled=True)     # (n_local, ...)
@@ -241,22 +269,27 @@ def _matvec_2d(rows, cols, vals, diag, x_local, *, pc, n_local,
     return y
 
 
-def matvec_2d(tg: TwoDGraph, x, mesh: Mesh):
-    """``L @ x`` with x of shape (P·n_local, ...) sharded over both axes."""
+def matvec_2d(tg: TwoDGraph, x, mesh: Mesh, ell=None):
+    """``L @ x`` with x of shape (P·n_local, ...) sharded over both axes.
 
-    def body(rows, cols, vals, diag, x_local):
+    Pass ``ell = twod_local_windowed(tg)`` to run the local block SpMMs
+    in the windowed-compact fast-path format.
+    """
+
+    def body(rows, cols, vals, diag, ell, x_local):
         return _matvec_2d(rows[0], cols[0], vals[0], diag[0], x_local,
-                          pc=tg.pc, n_local=tg.n_local)
+                          pc=tg.pc, n_local=tg.n_local, ell=ell)
 
     gspec = P(('row', 'col'))
+    ell_spec = jax.tree.map(lambda _: gspec, ell)
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(gspec, gspec, gspec, gspec, gspec),
+        in_specs=(gspec, gspec, gspec, gspec, ell_spec, gspec),
         out_specs=gspec)
-    return f(tg.rows, tg.cols, tg.vals, tg.diag, x)
+    return f(tg.rows, tg.cols, tg.vals, tg.diag, ell, x)
 
 
-def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh,
+def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh, ell=None,
                 carry_dtype=None, carry_tol=None):
     """Chebyshev filter bank on the 2-D edge partition.
 
@@ -279,12 +312,12 @@ def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh,
         from pygsp_tpu.ops.chebyshev import _check_carry_budget
         _check_carry_budget(c, cdt, carry_tol)
 
-    def body(rows, cols, vals, diag, c, lmax, x_local):
+    def body(rows, cols, vals, diag, ell, c, lmax, x_local):
         rows, cols, vals, diag = rows[0], cols[0], vals[0], diag[0]
         a1 = lmax / 2
         a2 = lmax / 2
         mv = partial(_matvec_2d, rows, cols, vals, diag,
-                     pc=tg.pc, n_local=tg.n_local)
+                     pc=tg.pc, n_local=tg.n_local, ell=ell)
 
         def cast(t):
             return t if cdt is None else t.astype(cdt)
@@ -311,8 +344,9 @@ def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh,
     gspec = P(('row', 'col'))
     xspec = P(('row', 'col'), *(None,) * (np.ndim(x) - 1))
     ospec = P(None, ('row', 'col'), *(None,) * (np.ndim(x) - 1))
+    ell_spec = jax.tree.map(lambda _: gspec, ell)
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(gspec, gspec, gspec, gspec, P(), P(), xspec),
+        in_specs=(gspec, gspec, gspec, gspec, ell_spec, P(), P(), xspec),
         out_specs=ospec)
-    return f(tg.rows, tg.cols, tg.vals, tg.diag, c, lmax, x)
+    return f(tg.rows, tg.cols, tg.vals, tg.diag, ell, c, lmax, x)

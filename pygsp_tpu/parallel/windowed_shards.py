@@ -205,14 +205,16 @@ def shard_local_windowed(sg: ShardedGraph, *,
                 parts.append((rows[s][keep], cols[s][keep] - col_base,
                               vals[s][keep]))
             return parts, ncols
-        interior = _build(sg, *filtered(lambda c: c < n_local, 0, n_local),
+        interior = _build(sg.n_local, np.asarray(sg.vals).dtype,
+                          *filtered(lambda c: c < n_local, 0, n_local),
                           window_rows, chunk_rows, slab_width, hub_degree)
         # boundary columns REBASED to the halo receive block [0,
         # halo_total): its SpMM applies to ``recv`` directly, so the
         # slabs span only halo chunks instead of wasting gathers on
         # n_local's worth of dead interior chunks
-        boundary = _build(sg, *filtered(lambda c: c >= n_local, n_local,
-                                        max(sg.halo_total, 1)),
+        boundary = _build(sg.n_local, np.asarray(sg.vals).dtype,
+                          *filtered(lambda c: c >= n_local, n_local,
+                                    max(sg.halo_total, 1)),
                           window_rows, chunk_rows, slab_width, hub_degree)
         return interior, boundary
 
@@ -220,14 +222,17 @@ def shard_local_windowed(sg: ShardedGraph, *,
     for s in range(sg.n_shards):
         real = rows[s] < n_local
         parts.append((rows[s][real], cols[s][real], vals[s][real]))
-    return _build(sg, parts, n_ext, window_rows, chunk_rows, slab_width,
-                  hub_degree)
+    return _build(sg.n_local, np.asarray(sg.vals).dtype, parts, n_ext,
+                  window_rows, chunk_rows, slab_width, hub_degree)
 
 
-def _build(sg, parts, n_ext, window_rows, chunk_rows, slab_width,
-           hub_degree):
-    S = sg.n_shards
-    n_local = sg.n_local
+def _build(n_local, vdtype_in, parts, n_ext, window_rows, chunk_rows,
+           slab_width, hub_degree):
+    """Stack per-device (rows, cols, vals) blocks — rows in
+    ``[0, n_local)``, cols in ``[0, n_ext)``, RECTANGULAR allowed — into
+    one uniform-shape :class:`ShardedWindowed` (also used by the 2-D edge
+    partition, where each block is ``L[R_i, C_j]``)."""
+    S = len(parts)
     P = int(window_rows)
     if chunk_rows is None:
         from pygsp_tpu.core.windowed import auto_chunk_rows
@@ -242,7 +247,7 @@ def _build(sg, parts, n_ext, window_rows, chunk_rows, slab_width,
     n_out = max(-(-n_local // R), 1)
     n_src = max(-(-n_ext // R), 1)
     NW = R // P
-    vdtype = np.asarray(sg.vals).dtype
+    vdtype = vdtype_in
 
     nnz_total = sum(int(p[0].size) for p in parts)
     if hub_degree is None:

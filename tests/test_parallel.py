@@ -447,3 +447,26 @@ def test_2d_autodiff_and_bf16(problem):
     assert out16.dtype == np.float32
     rel = np.abs(out16 - ref32).max() / np.abs(ref32).max()
     assert rel < 1.5e-2, rel
+
+
+@requires_multi
+def test_2d_windowed_local_spmm(problem):
+    """2-D path with the windowed-compact local block format matches the
+    COO segment-sum path and the unsharded reference."""
+    from pygsp_tpu.parallel import (cheby_op_2d, make_mesh_2d,
+                                    partition_graph_2d,
+                                    twod_local_windowed)
+    G, x, lap_type = problem
+    G.estimate_lmax()
+    g = gsp.filters.Heat(G, scale=[5, 20])
+    c = cheby.cheby_coeff(g.evaluate, G.lmax, m=20)
+    ref = np.asarray(cheby.cheby_op(G.L, G.lmax, c, jnp.asarray(x)))
+
+    tg = partition_graph_2d(G.W, 2, 2, lap_type=lap_type)
+    ell = twod_local_windowed(tg)
+    mesh = make_mesh_2d(2, 2)
+    xp = tg.pad_signal(x)
+    out = cheby_op_2d(tg, G.lmax, c, xp, mesh, ell=ell)
+    got = np.stack([np.asarray(tg.unpad_signal(out[f]))
+                    for f in range(out.shape[0])])
+    assert np.allclose(got, ref, atol=1e-9)
