@@ -174,7 +174,12 @@ def main():
         raise RuntimeError(f'device output mismatch (rel err {err}); '
                            'refusing to report throughput')
 
-    print(json.dumps({
+    # ---- bf16 recurrence carry (the deployed fast mode) ------------------
+    # Halves gather bytes + recurrence state; fold accumulation stays f32.
+    # Measured error budget: BF16_ERRORS_r3.json / STATUS.md. Validated
+    # against the same reference arithmetic before it may become the
+    # headline; any failure falls back to the exact-f32 numbers.
+    result = {
         'metric': 'cheby_K30_heatbank_edge_ops_per_s',
         'value': tpu_eps,
         'unit': 'edge-ops/s/chip',
@@ -183,7 +188,51 @@ def main():
         'per_bank_ms': dt * 1e3,
         'compile_s': compile_s,
         'first_call_s': first_call_s,
-    }))
+        'carry': 'f32',
+        'rel_err': float(err),
+    }
+    try:
+        L16 = LaplacianOp(offdiag=H.astype(jnp.bfloat16),
+                          diag=jnp.asarray(dw), lap_type='combinatorial')
+        run16 = jax.jit(lambda L, c, x: cheby.cheby_op(
+            L, lmax, c, x, carry_dtype=jnp.bfloat16))
+        t0 = time.time()
+        run16c = run16.lower(L16, c, x).compile()
+        compile16_s = time.time() - t0
+        out16 = run16c(L16, c, x)
+        sync(out16)
+        times16 = []
+        for _ in range(reps):
+            t0 = time.time()
+            for _ in range(n_iter - 1):
+                run16c(L16, c, x)
+            out16 = run16c(L16, c, x)
+            sync(out16)
+            times16.append((time.time() - t0) / n_iter)
+        dt16 = float(np.median(times16))
+        err16 = float(np.abs(np.asarray(out16[0, :, :8]) - cpu_out).max()
+                      / (np.abs(cpu_out).max() + 1e-30))
+        log(f'bf16 carry: {dt16*1e3:.1f} ms/bank, rel err {err16:.2e}')
+        if np.isfinite(err16) and err16 < 3e-2 and dt16 < dt:
+            result.update({
+                'value': edge_ops / dt16,
+                'vs_baseline': edge_ops / dt16 / cpu_eps,
+                'pct_roofline': 100.0 * roofline_s / dt16,
+                'per_bank_ms': dt16 * 1e3,
+                'carry': 'bf16',
+                'rel_err': err16,
+                'compile_s_bf16': compile16_s,
+                'value_f32_exact': tpu_eps,
+                'pct_roofline_f32': pct_roofline,
+                'per_bank_ms_f32': dt * 1e3,
+                'rel_err_f32': float(err),
+                'roofline_note': 'pct_roofline is the BASELINE f32-byte '
+                                 'read roofline for both modes',
+            })
+    except Exception as e:  # noqa: BLE001 — exact path is the fallback
+        log(f'bf16 carry mode unavailable ({e}); reporting f32 only')
+
+    print(json.dumps(result))
 
 
 def reference_cpu_eps(W, lmax, c, x):

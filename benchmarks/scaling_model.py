@@ -148,6 +148,12 @@ def main():
             't_step_s': t_step,
             't_step_source': 'BENCH_r02.json per_bank_ms/K (measured, '
                              'TPU v5e single chip, 70.7% of read roofline)',
+            't_step_note': 'plain single-chip step time; the sharded '
+                           'layout itself runs 1.42x slower per chip '
+                           '(SHARDED_ONCHIP_r3.json after the shuffle '
+                           'fix) — a slower per-chip step hides MORE '
+                           'comm, so plain t_step is the conservative '
+                           'choice for these efficiency predictions',
             'halo_calibration_alpha': alpha,
             'halo_cluster_factor': cluster_factor,
             'halo_measured_8shards': measured8,

@@ -328,10 +328,22 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
     n_local = max(_round_up(int(range_len.max()), 8), 8)
     n_pad = n_shards * n_local
 
-    # rank (position in reordered sequence) -> padded slot position
+    # rank (position in reordered sequence) -> padded slot position, with a
+    # deterministic WITHIN-SHARD shuffle: BA-style vertex ids correlate
+    # with degree, so without it hub rows cluster into the same output
+    # windows of the per-shard windowed-compact layout and blow up its
+    # pooled slab width (measured 1.61x on the bare local SpMM at the
+    # bench config, benchmarks/sharded_spmm_probe.py — the same reason
+    # the single-chip builder shuffle-relabels, windowed.py `permute=`).
+    # The shuffle rides the global ``perm`` (pad_signal applies it), so
+    # it costs nothing at runtime; shard MEMBERSHIP is untouched.
     shard_of_rank = np.searchsorted(bounds, np.arange(N), side='right') - 1
-    pos_of_rank = (shard_of_rank * n_local
-                   + np.arange(N) - bounds[shard_of_rank])
+    sh_rng = np.random.default_rng(0x5EED)
+    local_pos = np.empty(N, dtype=np.int64)
+    for s in range(n_shards):
+        local_pos[bounds[s]:bounds[s + 1]] = sh_rng.permutation(
+            n_local)[:range_len[s]]
+    pos_of_rank = shard_of_rank * n_local + local_pos
     perm = np.empty(N, dtype=np.int64)
     perm[order] = pos_of_rank               # original id -> padded position
 
@@ -361,6 +373,8 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
         r = rows_all[msk] - s * n_local
         c = cols_all[msk]
         v = vals_all[msk]
+        srt = np.argsort(r, kind='stable')   # rows arrive shuffle-scattered;
+        r, c, v = r[srt], c[srt], v[srt]     # consumers require row-sorted
         is_local = (c >= s * n_local) & (c < (s + 1) * n_local)
         per.append((r, c, v, is_local))
         halo_ids.append(np.unique(c[~is_local]))

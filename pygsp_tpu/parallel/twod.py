@@ -158,9 +158,17 @@ def partition_graph_2d(W, pr: int, pc: int,
     range_len = np.diff(bounds)
     n_local = max(_round_up(int(range_len.max()), 8), 8)
 
+    # within-slice shuffle: same hub-dispersion contract as the 1-D
+    # partitioner (see partition.py) — keeps the windowed block layout's
+    # pooled slab width tight on degree-correlated vertex ids; rides the
+    # global perm at zero runtime cost
     slice_of_rank = np.searchsorted(bounds, np.arange(N), side='right') - 1
-    pos_of_rank = (slice_of_rank * n_local
-                   + np.arange(N) - bounds[slice_of_rank])
+    sh_rng = np.random.default_rng(0x5EED)
+    local_pos = np.empty(N, dtype=np.int64)
+    for s_ in range(p):
+        local_pos[bounds[s_]:bounds[s_ + 1]] = sh_rng.permutation(
+            n_local)[:bounds[s_ + 1] - bounds[s_]]
+    pos_of_rank = slice_of_rank * n_local + local_pos
     perm = np.empty(N, dtype=np.int64)
     perm[order] = pos_of_rank
 
