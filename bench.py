@@ -192,8 +192,13 @@ def main():
         'rel_err': float(err),
     }
     try:
+        import gc
         L16 = LaplacianOp(offdiag=H.astype(jnp.bfloat16),
                           diag=jnp.asarray(dw), lap_type='combinatorial')
+        # free the f32 program state first: its 2 GB output + executable
+        # alongside the bf16 run's own temps exhaust the 16 GB chip
+        del out, run, compiled, L, H
+        gc.collect()
         run16 = jax.jit(lambda L, c, x: cheby.cheby_op(
             L, lmax, c, x, carry_dtype=jnp.bfloat16))
         t0 = time.time()
