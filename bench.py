@@ -9,14 +9,42 @@ the same graph and task).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Robustness contract (round-4): the run must produce its JSON line under
+worst-case driver conditions (cold tunnel, cold XLA cache, external
+timeout). Three mechanisms:
+  * a wall-clock budget (env PYGSP_BENCH_BUDGET_S, default 1500 s) checked
+    between phases — when short on time the run drops to single-shot
+    timing and skips the bf16 pass;
+  * the best VALIDATED result so far is kept in a module global and a
+    SIGTERM/SIGINT handler prints it before exiting, so an external
+    `timeout` (which SIGTERMs first) still yields a parsed line — round 3
+    died with a fully validated f32 result unprinted;
+  * host→device bytes are minimized (signals are generated on-device;
+    format arrays are staged explicitly with progress logs) because the
+    round-3 failure was a 1576 s first call dominated by staging over a
+    degraded tunnel.
+
+Metric continuity: `value`/`pct_roofline` refer to the best validated
+mode (bf16 carry when it passes its gate, else exact f32), and the exact
+f32 series is ALWAYS present as `value_f32_exact`/`pct_roofline_f32`/
+`per_bank_ms_f32`/`rel_err_f32` so round-over-round comparisons never mix
+arithmetic. The bf16 acceptance gate is 1.5e-2 (measured budget 4.6e-3
+× ~3 margin, BF16_ERRORS_r3.json), not the old 3e-2.
 """
 
+import atexit
+import gc
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+START = time.time()
+BUDGET = float(os.environ.get('PYGSP_BENCH_BUDGET_S', '1500'))
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      '.bench_cache')
@@ -29,9 +57,43 @@ N_SIGNALS = 128
 N_FILTERS = 4
 SCALES = [5.0, 10.0, 25.0, 50.0]
 
+_result = None     # best validated result so far (printed exactly once)
+_printed = False
+
 
 def log(*args):
-    print(*args, file=sys.stderr, flush=True)
+    print(f'[{time.time() - START:7.1f}s]', *args, file=sys.stderr,
+          flush=True)
+
+
+def elapsed():
+    return time.time() - START
+
+
+def remaining():
+    return BUDGET - elapsed()
+
+
+def _emit():
+    global _printed
+    if _printed or _result is None:
+        return
+    _printed = True
+    print(json.dumps(_result), flush=True)
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    log(f'signal {signum} received — emitting best validated result '
+        f'({"available" if _result is not None else "NONE"})')
+    _emit()
+    # os._exit: skip interpreter teardown — the axon tunnel teardown can
+    # hang, and the line is already flushed.
+    os._exit(0 if _result is not None else 1)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
+atexit.register(_emit)
 
 
 def get_graph():
@@ -49,6 +111,10 @@ def get_graph():
 
 
 def main():
+    global _result
+    log(f'wall-clock budget: {BUDGET:.0f}s '
+        f'(env PYGSP_BENCH_BUDGET_S to override)')
+
     import jax
     import jax.numpy as jnp
 
@@ -62,6 +128,14 @@ def main():
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
     except Exception as e:  # cache support missing on some backends
         log(f'compilation cache unavailable: {e}')
+
+    # Tunnel prewarm: a tiny op claims the TPU tunnel and reveals a sick
+    # link EARLY (round 3 found out 26 minutes into the first big call).
+    t0 = time.time()
+    dev = jax.devices()[0]
+    float(jnp.sum(jnp.ones((128, 128))))
+    log(f'device claim + tiny-op warmup: {time.time() - t0:.1f}s '
+        f'({dev})')
 
     src, tgt = get_graph()
     # symmetric COO (both directions), unit weights
@@ -86,21 +160,36 @@ def main():
     Wneg = W.copy()
     Wneg.data = -Wneg.data
     H = core_windowed.windowed_from_scipy(Wneg, dtype=np.float32)
-    L = LaplacianOp(offdiag=H, diag=jnp.asarray(dw),
-                    lap_type='combinatorial')
-    slots = H.n_slots
-    slots += sum(l.cols.shape[0] * l.cols.shape[1] for l in H.levels)
-    log(f'device graph built in {time.time() - t0:.1f}s; '
-        f'windowed L={H.cols.shape[3]} slot_pad={slots/nnz:.2f}; '
-        f'device={jax.devices()[0]}')
+    log(f'windowed format built in {time.time() - t0:.1f}s; '
+        f'L={H.cols.shape[3]} slot_pad={(H.n_slots + sum(l.cols.shape[0] * l.cols.shape[1] for l in H.levels)) / nnz:.2f}')
+
+    # Stage the operator arrays explicitly (with progress visible in the
+    # log) instead of letting the first jit call do it silently: staging
+    # over a degraded tunnel was the round-3 26-minute black box.
+    t0 = time.time()
+    n_bytes = sum(a.nbytes for a in jax.tree.leaves(H)) + dw.nbytes
+    H = jax.device_put(H, dev)
+    diag = jax.device_put(jnp.asarray(dw), dev)
+    jax.block_until_ready(jax.tree.leaves(H))
+    stage_s = time.time() - t0
+    log(f'staged {n_bytes / 1e6:.0f} MB of operator arrays in '
+        f'{stage_s:.1f}s ({n_bytes / 1e6 / max(stage_s, 1e-9):.0f} MB/s)')
+    L = LaplacianOp(offdiag=H, diag=diag, lap_type='combinatorial')
 
     def evaluate(lam):
         return jnp.exp(-jnp.asarray(SCALES, jnp.float32)[:, None]
                        * lam[None, :] / lmax)
 
     c = cheby.cheby_coeff(evaluate, lmax, m=K_ORDER, dtype=jnp.float32)
-    x = jnp.asarray(np.random.default_rng(0).normal(
-        size=(N, N_SIGNALS)).astype(np.float32))
+
+    # Signals generated ON DEVICE (512 MB that never crosses the tunnel);
+    # the 8 validation columns are pulled back for the host reference.
+    x = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(0), (N, N_SIGNALS), jnp.float32))()
+    t0 = time.time()
+    x8 = np.asarray(x[:, :8])
+    log(f'pulled validation columns ({x8.nbytes / 1e6:.0f} MB) in '
+        f'{time.time() - t0:.1f}s')
 
     # L passed as a pytree ARGUMENT: closing over it would inline the edge
     # arrays as compile-time constants (compile-time/memory blowup).
@@ -113,8 +202,8 @@ def main():
         return float(jnp.sum(o[0, ::4096, 0]))
 
     # compile_s = pure AOT compile (the COMPILE_r3.json definition);
-    # first_call_s = first execution incl. data staging/tunnel warm-up —
-    # reported separately so the two are never conflated again.
+    # first_call_s = first execution (data already staged) — reported
+    # separately so the two are never conflated.
     t0 = time.time()
     compiled = run.lower(L, c, x).compile()
     compile_s = time.time() - t0
@@ -125,43 +214,18 @@ def main():
     first_call_s = time.time() - t0
     log(f'compile: {compile_s:.1f}s  first call: {first_call_s:.1f}s')
 
-    # Timing: enqueue n_iter calls ASYNC, then ONE device->host sync.
-    # Per-iteration syncs pay a tunnel round trip each (measured to
-    # inflate ms-scale kernels 40x on this relay, benchmarks/
-    # chunked_diag5.py), and block_until_ready can silently no-op after
-    # a backend restart — a strided host read cannot lie.
-    n_iter, reps = 3, 3
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        for _ in range(n_iter - 1):
-            run(L, c, x)
-        out = run(L, c, x)
-        sync(out)
-        times.append((time.time() - t0) / n_iter)
-    dt = float(np.median(times))
-    # edge-operations per second: each of the K SpMM steps touches every
-    # stored edge once per signal column (shared across the Nf filters).
-    edge_ops = K_ORDER * nnz * N_SIGNALS
-    tpu_eps = edge_ops / dt
-    log(f'device: {dt*1e3:.1f} ms/filterbank  -> {tpu_eps:.3e} edge-ops/s')
-
-    # %-of-roofline: format-independent minimum HBM traffic for one bank
-    # = K steps x (gather x[col] for every stored edge + 8B slot metadata
-    # + one output-buffer write), at this chip's measured sequential read
-    # bandwidth (~160 GB/s, benchmarks/gather_probe2.py).
-    read_bw = 160e9
-    min_bytes = K_ORDER * (nnz * (4 * N_SIGNALS + 8) + N * N_SIGNALS * 4)
-    roofline_s = min_bytes / read_bw
-    pct_roofline = 100.0 * roofline_s / dt
-    log(f'roofline: min {min_bytes/1e9:.1f} GB @ {read_bw/1e9:.0f} GB/s '
-        f'= {roofline_s:.2f}s  -> {pct_roofline:.0f}% of roofline')
+    # One timed single-shot run immediately — enough for a validated
+    # result if the budget is nearly gone.
+    t0 = time.time()
+    out = run(L, c, x)
+    sync(out)
+    dt = time.time() - t0
+    log(f'single-shot: {dt * 1e3:.1f} ms/filterbank')
 
     # ---- reference implementation (SciPy CSR, reference cheby_op math) ----
     # throughput is per-edge-op, so measure on a column subsample to keep
     # the bench fast; the metric is work-normalized.
-    cpu_eps, cpu_out = reference_cpu_eps(W, lmax, np.asarray(c),
-                                         np.asarray(x)[:, :8])
+    cpu_eps, cpu_out = reference_cpu_eps(W, lmax, np.asarray(c), x8)
     log(f'reference scipy: {cpu_eps:.3e} edge-ops/s')
 
     # CORRECTNESS GATE: a silently-faulting device can return instantly
@@ -174,27 +238,84 @@ def main():
         raise RuntimeError(f'device output mismatch (rel err {err}); '
                            'refusing to report throughput')
 
+    # edge-operations per second: each of the K SpMM steps touches every
+    # stored edge once per signal column (shared across the Nf filters).
+    edge_ops = K_ORDER * nnz * N_SIGNALS
+
+    # %-of-roofline: format-independent minimum HBM traffic for one bank
+    # = K steps x (gather x[col] for every stored edge + 8B slot metadata
+    # + one output-buffer write), at this chip's measured sequential read
+    # bandwidth (~160 GB/s, benchmarks/gather_probe2.py).
+    read_bw = 160e9
+    min_bytes = K_ORDER * (nnz * (4 * N_SIGNALS + 8) + N * N_SIGNALS * 4)
+    roofline_s = min_bytes / read_bw
+
+    def f32_fields(dt):
+        return {
+            'value': edge_ops / dt,
+            'vs_baseline': edge_ops / dt / cpu_eps,
+            'pct_roofline': 100.0 * roofline_s / dt,
+            'per_bank_ms': dt * 1e3,
+            'carry': 'f32',
+            'rel_err': float(err),
+            # exact-f32 series ALWAYS present under its own names so the
+            # cross-round comparison never mixes arithmetic
+            'value_f32_exact': edge_ops / dt,
+            'pct_roofline_f32': 100.0 * roofline_s / dt,
+            'per_bank_ms_f32': dt * 1e3,
+            'rel_err_f32': float(err),
+            'compile_s': compile_s,
+            'first_call_s': first_call_s,
+            'stage_mb_s': n_bytes / 1e6 / max(stage_s, 1e-9),
+            'budget_s': BUDGET,
+        }
+
+    _result = {'metric': 'cheby_K30_heatbank_edge_ops_per_s',
+               'unit': 'edge-ops/s/chip', **f32_fields(dt)}
+    log(f'validated f32 single-shot result banked '
+        f'({_result["pct_roofline"]:.0f}% roofline)')
+
+    # Refine with a proper repeated measurement if time allows: enqueue
+    # n_iter calls ASYNC, then ONE device->host sync (per-iteration syncs
+    # pay a tunnel round trip each — measured 40x inflation on ms-scale
+    # kernels, benchmarks/chunked_diag5.py).
+    n_iter, reps = 3, 3
+    if remaining() > n_iter * reps * dt + 60:
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            for _ in range(n_iter - 1):
+                run(L, c, x)
+            out = run(L, c, x)
+            sync(out)
+            times.append((time.time() - t0) / n_iter)
+        dt = float(np.median(times))
+        _result.update(f32_fields(dt))
+        log(f'refined: {dt * 1e3:.1f} ms/filterbank -> '
+            f'{edge_ops / dt:.3e} edge-ops/s, '
+            f'{100.0 * roofline_s / dt:.0f}% of roofline')
+    else:
+        log(f'budget short ({remaining():.0f}s left) — keeping '
+            'single-shot timing')
+
     # ---- bf16 recurrence carry (the deployed fast mode) ------------------
     # Halves gather bytes + recurrence state; fold accumulation stays f32.
     # Measured error budget: BF16_ERRORS_r3.json / STATUS.md. Validated
     # against the same reference arithmetic before it may become the
-    # headline; any failure falls back to the exact-f32 numbers.
-    result = {
-        'metric': 'cheby_K30_heatbank_edge_ops_per_s',
-        'value': tpu_eps,
-        'unit': 'edge-ops/s/chip',
-        'vs_baseline': tpu_eps / cpu_eps,
-        'pct_roofline': pct_roofline,
-        'per_bank_ms': dt * 1e3,
-        'compile_s': compile_s,
-        'first_call_s': first_call_s,
-        'carry': 'f32',
-        'rel_err': float(err),
-    }
+    # headline; any failure falls back to the exact-f32 numbers above.
+    bf16_cost = 1.5 * compile_s + 5 * dt + 60
+    if os.environ.get('PYGSP_BENCH_SKIP_BF16'):
+        log('PYGSP_BENCH_SKIP_BF16 set — reporting f32 only')
+        _emit()
+        return
+    if remaining() < bf16_cost:
+        log(f'budget short for bf16 pass (need ~{bf16_cost:.0f}s, have '
+            f'{remaining():.0f}s) — reporting f32 only')
+        _emit()
+        return
     try:
-        import gc
-        L16 = LaplacianOp(offdiag=H.astype(jnp.bfloat16),
-                          diag=jnp.asarray(dw), lap_type='combinatorial')
+        L16 = LaplacianOp(offdiag=L.offdiag.astype(jnp.bfloat16),
+                          diag=L.diag, lap_type='combinatorial')
         # free the f32 program state first: its 2 GB output + executable
         # alongside the bf16 run's own temps exhaust the 16 GB chip
         del out, run, compiled, L, H
@@ -206,20 +327,29 @@ def main():
         compile16_s = time.time() - t0
         out16 = run16c(L16, c, x)
         sync(out16)
-        times16 = []
-        for _ in range(reps):
-            t0 = time.time()
-            for _ in range(n_iter - 1):
-                run16c(L16, c, x)
-            out16 = run16c(L16, c, x)
-            sync(out16)
-            times16.append((time.time() - t0) / n_iter)
-        dt16 = float(np.median(times16))
+        log(f'bf16 compile: {compile16_s:.1f}s')
+        t0 = time.time()
+        out16 = run16c(L16, c, x)
+        sync(out16)
+        dt16 = time.time() - t0
         err16 = float(np.abs(np.asarray(out16[0, :, :8]) - cpu_out).max()
                       / (np.abs(cpu_out).max() + 1e-30))
-        log(f'bf16 carry: {dt16*1e3:.1f} ms/bank, rel err {err16:.2e}')
-        if np.isfinite(err16) and err16 < 3e-2 and dt16 < dt:
-            result.update({
+        log(f'bf16 carry single-shot: {dt16 * 1e3:.1f} ms/bank, '
+            f'rel err {err16:.2e}')
+        # acceptance gate: measured budget (4.6e-3, BF16_CARRY_r3.json)
+        # × ~3 margin — NOT the old 3e-2
+        if np.isfinite(err16) and err16 < 1.5e-2 and dt16 < dt:
+            if remaining() > n_iter * reps * dt16 + 30:
+                times16 = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    for _ in range(n_iter - 1):
+                        run16c(L16, c, x)
+                    out16 = run16c(L16, c, x)
+                    sync(out16)
+                    times16.append((time.time() - t0) / n_iter)
+                dt16 = float(np.median(times16))
+            _result.update({
                 'value': edge_ops / dt16,
                 'vs_baseline': edge_ops / dt16 / cpu_eps,
                 'pct_roofline': 100.0 * roofline_s / dt16,
@@ -227,17 +357,17 @@ def main():
                 'carry': 'bf16',
                 'rel_err': err16,
                 'compile_s_bf16': compile16_s,
-                'value_f32_exact': tpu_eps,
-                'pct_roofline_f32': pct_roofline,
-                'per_bank_ms_f32': dt * 1e3,
-                'rel_err_f32': float(err),
                 'roofline_note': 'pct_roofline is the BASELINE f32-byte '
                                  'read roofline for both modes',
             })
+            log(f'bf16 headline: {dt16 * 1e3:.1f} ms/bank -> '
+                f'{100.0 * roofline_s / dt16:.0f}% of f32 roofline')
+        else:
+            log('bf16 gate failed — reporting f32')
     except Exception as e:  # noqa: BLE001 — exact path is the fallback
         log(f'bf16 carry mode unavailable ({e}); reporting f32 only')
 
-    print(json.dumps(result))
+    _emit()
 
 
 def reference_cpu_eps(W, lmax, c, x):
