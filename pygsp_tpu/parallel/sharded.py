@@ -154,6 +154,204 @@ def sharded_matvec(sg: ShardedGraph, x, mesh: Mesh, ell=None):
     return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, ell, x)
 
 
+def _gather_from_chunks(t_chunks, sidx, chunk_rows, out_dtype=None):
+    """Gather rows ``sidx`` (ascending local ids; sentinel past the end)
+    from a tuple of chunk buffers without concatenating them.
+
+    The partitioner emits each distance's send ids SORTED (they are ranks
+    of the receiver's sorted remote set), so per-chunk membership is a
+    contiguous range — but the range BOUNDS differ per shard while
+    ``shard_map`` requires static shapes, so each chunk gathers the full
+    id vector (clamped) and a mask keeps its own rows. Costs
+    ``len(t_chunks)`` gathers of ``H_d`` rows each; with one local chunk
+    (``n_local ≤ 2^17``, the common multi-chip case) it is a plain
+    gather. Sentinel ids fall past every chunk and produce zero rows
+    (unreferenced by construction)."""
+    if len(t_chunks) == 1:
+        out = t_chunks[0][sidx]
+        return out if out_dtype is None else out.astype(out_dtype)
+    out = None
+    for ci, tc in enumerate(t_chunks):
+        lo = ci * chunk_rows
+        part = tc[jnp.clip(sidx - lo, 0, tc.shape[0] - 1)]
+        if out_dtype is not None:
+            part = part.astype(out_dtype)
+        msk = (sidx >= lo) & (sidx < lo + tc.shape[0])
+        part = part * msk.reshape((-1,) + (1,) * (part.ndim - 1)).astype(
+            part.dtype)
+        out = part if out is None else out + part
+    return out
+
+
+def _chunkcarried_layout(sg, ell):
+    """Return the shared chunk size R when ``ell`` supports the
+    chunk-carried recurrence, else None.
+
+    Supported: the windowed-shard layout — split ``(interior, boundary)``
+    with one shared ``chunk_rows`` (the builder guarantees it), or the
+    combined matrix when the local/halo source-chunk boundaries align
+    (``n_local % R == 0``, or no halo at all)."""
+    from pygsp_tpu.parallel.windowed_shards import ShardedWindowed
+    if (isinstance(ell, tuple) and len(ell) == 2
+            and all(isinstance(e, ShardedWindowed) for e in ell)):
+        if ell[0].chunk_rows == ell[1].chunk_rows:
+            return ell[0].chunk_rows
+        return None
+    if isinstance(ell, ShardedWindowed):
+        R = ell.chunk_rows
+        if sg.halo_total == 0 or sg.n_local % R == 0:
+            return R
+    return None
+
+
+def _sharded_cheby_op_chunkcarried(sg, lmax, c, x, mesh, ell, cdt):
+    """Chunk-carried sharded Chebyshev: the multi-chip unification of the
+    single-chip chunked-carry fusion (``ops/chebyshev._cheby_op_chunked``).
+
+    The round-3 sharded body carried full ``(n_local, ...)`` arrays and
+    every ``local_spmm`` re-chunked them (``chunk_signal`` + ``unchunk``
+    copies each step — measured ~1.13x of the 1.20x sharded overhead,
+    ``SHARDED_ONCHIP_r3.json``). Here the scan carries TUPLES of
+    per-chunk buffers, the halo send rows are gathered straight from the
+    chunk tuple (:func:`_gather_from_chunks` — the partitioner's send ids
+    are sorted so this is exact), and the windowed folds consume/produce
+    chunk tuples directly (``windowed_spmm_chunks``). Per step the only
+    signal-sized copies left are the ones the algorithm requires: the
+    halo payload itself and the fresh recurrence terms.
+    """
+    c = jnp.atleast_2d(c)
+    nf, m1 = c.shape
+    lmax = jnp.asarray(lmax, dtype=sg.dtype)
+    split = isinstance(ell, tuple)
+    n_shards = sg.n_shards
+
+    def body(rows, cols, vals, diag, send_idx, ell_sl, c, lmax, x_local):
+        from pygsp_tpu.core.chunked import chunk_signal
+        from pygsp_tpu.core.windowed import windowed_spmm_chunks
+        del rows, cols, vals
+        diag = diag[0]
+        send_idx = tuple(s[0] for s in send_idx)
+        odt = x_local.dtype
+        a1 = lmax / 2
+        a2 = lmax / 2
+        sc = 2.0 / a1
+        bshape = (nf,) + (1,) * x_local.ndim
+        imat = (ell_sl[0] if split else ell_sl).local_matrix()
+        bmat = ell_sl[1].local_matrix() if split else None
+        R = imat.chunk_rows
+        dsh = (-1,) + (1,) * (x_local.ndim - 1)
+        diag_c = chunk_signal(diag.reshape(dsh), R)
+        fdiag_c = chunk_signal(((diag - a2) * sc).reshape(dsh), R)
+        xc = chunk_signal(x_local, R)
+
+        if cdt is None:
+            def cast(t):
+                return t
+            spmm_kw = {}
+        else:
+            def cast(t):
+                return tuple(tk.astype(cdt) for tk in t)
+            spmm_kw = {'out_dtype': odt}
+
+        def halo_recv(t_chunks):
+            # send rows gathered from the carry tuple — the ppermute
+            # payload is the CARRY dtype (bf16 mode halves wire bytes)
+            with jax.named_scope('halo_exchange'):
+                blocks = []
+                for d, sidx in zip(sg.halo_dists, send_idx):
+                    send = _gather_from_chunks(t_chunks, sidx, R)
+                    if n_shards > 1:
+                        perm = [(i, (i + d) % n_shards)
+                                for i in range(n_shards)]
+                        send = jax.lax.ppermute(send, 'graph', perm)
+                    blocks.append(send)
+                return (jnp.concatenate(blocks, axis=0)
+                        if len(blocks) > 1 else blocks[0])
+
+        def offdiag_apply(t_chunks):
+            if split:
+                y = windowed_spmm_chunks(imat, t_chunks, **spmm_kw)
+                if bmat.nnz:
+                    rc = chunk_signal(halo_recv(t_chunks), R)
+                    yb = windowed_spmm_chunks(bmat, rc, **spmm_kw)
+                    y = tuple(a + b for a, b in zip(y, yb))
+                return y
+            if sg.halo_total:
+                t_chunks = t_chunks + chunk_signal(halo_recv(t_chunks), R)
+            return windowed_spmm_chunks(imat, t_chunks, **spmm_kw)
+
+        t_old = cast(xc)
+        y0 = offdiag_apply(t_old)
+        t_cur = cast(tuple((d * xk + yk - a2 * xk) / a1
+                           for d, xk, yk in zip(diag_c, xc, y0)))
+        acc = tuple(0.5 * c[:, 0].reshape(bshape) * xk[None]
+                    + c[:, 1].reshape(bshape) * tc.astype(odt)[None]
+                    for xk, tc in zip(xc, t_cur))
+
+        if m1 > 2:
+            def recur(t_old, t_cur):
+                yc = offdiag_apply(t_cur)
+                return cast(tuple(fd * tk + sc * yk - to
+                                  for fd, tk, yk, to in
+                                  zip(fdiag_c, t_cur, yc, t_old)))
+
+            def add_acc(acc, ckk, t_new):
+                return tuple(a + ckk.reshape(bshape) * t[None]
+                             for a, t in zip(acc, t_new))
+
+            # accumulator grouping: fold g coefficient updates into one
+            # pass over the Nf accumulators (same lever as single-chip,
+            # default g=4; PYGSP_SHARDED_ACC_GROUP overrides)
+            import os as _os
+            g_env = _os.environ.get('PYGSP_SHARDED_ACC_GROUP')
+            g = max(1, int(g_env)) if g_env else 4
+            n_tail = m1 - 2
+            g = min(g, n_tail)
+            rem = n_tail % g
+            for k in range(2, 2 + rem):        # g-remainder head, unrolled
+                t_new = recur(t_old, t_cur)
+                acc = add_acc(acc, c[:, k], t_new)
+                t_old, t_cur = t_cur, t_new
+            if n_tail - rem:
+                cg = c[:, 2 + rem:].T.reshape(-1, g, nf)
+
+                def gstep(carry, ckg):
+                    t_old, t_cur, acc = carry
+                    terms = []
+                    for _ in range(g):
+                        t_new = recur(t_old, t_cur)
+                        terms.append(t_new)
+                        t_old, t_cur = t_cur, t_new
+                    # elementwise (VPU) coefficient fold — bit-identical
+                    # to the ungrouped body (an MXU tensordot at DEFAULT
+                    # precision would round f32 through bf16)
+                    acc = tuple(
+                        a + sum(ckg[j].reshape(bshape) * terms[j][i][None]
+                                for j in range(g))
+                        for i, a in enumerate(acc))
+                    return (t_old, t_cur, acc), None
+
+                (_, _, acc), _ = jax.lax.scan(gstep, (t_old, t_cur, acc),
+                                              cg)
+        return acc[0] if len(acc) == 1 else jnp.concatenate(acc, axis=1)
+
+    if np.ndim(x) > 1:
+        xspec = P('graph', 'batch')
+        ospec = P(None, 'graph', 'batch')
+    else:
+        xspec = P('graph')
+        ospec = P(None, 'graph')
+    ell_spec = jax.tree.map(lambda _: P('graph'), ell)
+    send_spec = tuple(P('graph') for _ in sg.send_idx)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P('graph'), P('graph'), P('graph'), P('graph'),
+                  send_spec, ell_spec, P(), P(), xspec),
+        out_specs=ospec)
+    return f(sg.rows, sg.cols, sg.vals, sg.diag, sg.send_idx, ell, c,
+             lmax, x)
+
+
 def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh, ell=None,
                      carry_dtype=None, carry_tol=None):
     """Chebyshev filter bank on the sharded graph.
@@ -176,6 +374,12 @@ def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh, ell=None,
     if cdt is not None and not isinstance(c, jax.core.Tracer):
         from pygsp_tpu.ops.chebyshev import _check_carry_budget
         _check_carry_budget(c, cdt, carry_tol)
+
+    # windowed-shard layouts run the chunk-carried recurrence (no
+    # per-step chunk/unchunk copies — the round-3 1.13x overhead)
+    if _chunkcarried_layout(sg, ell) is not None:
+        return _sharded_cheby_op_chunkcarried(sg, lmax, c, x, mesh, ell,
+                                              cdt)
 
     def body(rows, cols, vals, diag, send_idx, ell, c, lmax, x_local):
         rows, cols, vals = rows[0], cols[0], vals[0]

@@ -75,10 +75,10 @@ class ShardedWindowed:
     def dtype(self):
         return self.vals.dtype
 
-    def local_spmm(self, x: jax.Array) -> jax.Array:
-        """``y = A_shard @ x`` on THIS shard's slice (inside shard_map,
+    def local_matrix(self) -> WindowedELLMatrix:
+        """THIS shard's slice as a single-chip matrix (inside shard_map,
         where every leaf arrives with a leading block axis of 1)."""
-        mat = WindowedELLMatrix(
+        return WindowedELLMatrix(
             cols=self.cols[0], vals=self.vals[0], rowid=self.rowid[0],
             levels=tuple(
                 ChunkLevel(cols=lc[0], vals=lv[0], src_chunk=c)
@@ -88,7 +88,18 @@ class ShardedWindowed:
             rowptr=jnp.zeros(0, jnp.int32),
             n_rows=self.n_local, n_cols=self.n_ext, nnz=self.nnz,
             chunk_rows=self.chunk_rows, window_rows=self.window_rows)
-        return windowed_spmm(mat, x)
+
+    def local_spmm(self, x: jax.Array) -> jax.Array:
+        """``y = A_shard @ x`` with full-array input/output."""
+        return windowed_spmm(self.local_matrix(), x)
+
+    def local_spmm_chunks(self, x_chunks, out_dtype=None) -> tuple:
+        """``y_chunks = A_shard @ x_chunks`` — tuple-of-chunk form for the
+        chunk-carried sharded recurrence (no per-step chunk/unchunk
+        copies; see :func:`pygsp_tpu.parallel.sharded.sharded_cheby_op`)."""
+        from pygsp_tpu.core.windowed import windowed_spmm_chunks
+        return windowed_spmm_chunks(self.local_matrix(), x_chunks,
+                                    out_dtype=out_dtype)
 
 
 def _fixed_residue_tiers(per_shard_residue, R, n_src, vdtype, n_out_rows):
@@ -205,6 +216,19 @@ def shard_local_windowed(sg: ShardedGraph, *,
                 parts.append((rows[s][keep], cols[s][keep] - col_base,
                               vals[s][keep]))
             return parts, ncols
+        if chunk_rows is None:
+            # ONE chunk size for interior and boundary: the chunk-carried
+            # sharded recurrence (sharded.py) adds the two folds'
+            # per-chunk outputs and carries the interior source chunks
+            # across scan steps, so the output chunkings must agree and
+            # the interior source chunking must equal the carry chunking.
+            # Same auto choice as the combined layout (extended density).
+            from pygsp_tpu.core.windowed import auto_chunk_rows
+            nnz_est = sum(int((rows[s] < n_local).sum())
+                          for s in range(sg.n_shards))
+            chunk_rows = auto_chunk_rows(
+                nnz_est // max(sg.n_shards, 1), n_local,
+                max(n_ext, n_local), window_rows)
         interior = _build(sg.n_local, np.asarray(sg.vals).dtype,
                           *filtered(lambda c: c < n_local, 0, n_local),
                           window_rows, chunk_rows, slab_width, hub_degree)

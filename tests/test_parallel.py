@@ -199,6 +199,38 @@ def test_sharded_windowed_matches():
 
 
 @requires_multi
+def test_sharded_windowed_multichunk():
+    """Chunk-carried sharded recurrence with n_local spanning SEVERAL
+    source chunks: exercises the masked halo gather-from-chunks
+    (``parallel.sharded._gather_from_chunks``) and the per-chunk
+    accumulator/recurrence tuples against the unsharded reference."""
+    from pygsp_tpu.parallel import shard_local_windowed
+    G = gsp.graphs.Sensor(1200, seed=3)
+    G.estimate_lmax(method='bounds')
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(G.N, 6))
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[1, 5, 20]).evaluate,
+                          G.lmax, m=12)
+    ref = np.asarray(cheby.cheby_op(G.L, G.lmax, c, jnp.asarray(x)))
+
+    sg = partition_graph(G.W, 4)
+    ell = shard_local_windowed(sg, split_boundary=True, chunk_rows=64)
+    assert -(-sg.n_local // 64) >= 3  # the point of the test
+    mesh = make_mesh(4, 2)
+    xp = sg.pad_signal(x)
+    out = sharded_cheby_op(sg, G.lmax, c, xp, mesh, ell=ell)
+    got = np.stack([np.asarray(sg.unpad_signal(out[f])) for f in range(3)])
+    assert np.allclose(got, ref, atol=1e-9)
+
+    out16 = sharded_cheby_op(sg, G.lmax, c, xp, mesh, ell=ell,
+                             carry_dtype=jnp.bfloat16)
+    got16 = np.stack([np.asarray(sg.unpad_signal(out16[f]))
+                      for f in range(3)])
+    rel = np.abs(got16 - ref).max() / np.abs(ref).max()
+    assert rel < 1.5e-2, rel
+
+
+@requires_multi
 def test_sharded_windowed_autodiff():
     """Reverse-mode through the windowed shard fold + halo exchange."""
     from pygsp_tpu.parallel import shard_local_windowed
