@@ -204,6 +204,69 @@ def _chunkcarried_layout(sg, ell):
     return None
 
 
+def _chunkcarried_scan(xc, diag_c, fdiag_c, offdiag_apply, c, a1, a2, sc,
+                       cast, odt, bshape):
+    """The chunk-carried Chebyshev recurrence body (inside shard_map):
+    mirror of the single-chip ``ops.chebyshev._cheby_op_chunked`` scan,
+    parameterized on the distributed ``offdiag_apply`` (1-D halo exchange
+    or 2-D ring all-gather). ``xc``/``diag_c``/``fdiag_c``: per-chunk
+    tuples; returns the concatenated ``(Nf, n_local, ...)`` bank."""
+    nf, m1 = c.shape
+    t_old = cast(xc)
+    y0 = offdiag_apply(t_old)
+    t_cur = cast(tuple((d * xk + yk - a2 * xk) / a1
+                       for d, xk, yk in zip(diag_c, xc, y0)))
+    acc = tuple(0.5 * c[:, 0].reshape(bshape) * xk[None]
+                + c[:, 1].reshape(bshape) * tc.astype(odt)[None]
+                for xk, tc in zip(xc, t_cur))
+
+    if m1 > 2:
+        def recur(t_old, t_cur):
+            yc = offdiag_apply(t_cur)
+            return cast(tuple(fd * tk + sc * yk - to
+                              for fd, tk, yk, to in
+                              zip(fdiag_c, t_cur, yc, t_old)))
+
+        def add_acc(acc, ckk, t_new):
+            return tuple(a + ckk.reshape(bshape) * t[None]
+                         for a, t in zip(acc, t_new))
+
+        # accumulator grouping: fold g coefficient updates into one
+        # pass over the Nf accumulators (same lever as single-chip,
+        # default g=4; PYGSP_SHARDED_ACC_GROUP overrides)
+        import os as _os
+        g_env = _os.environ.get('PYGSP_SHARDED_ACC_GROUP')
+        g = max(1, int(g_env)) if g_env else 4
+        n_tail = m1 - 2
+        g = min(g, n_tail)
+        rem = n_tail % g
+        for k in range(2, 2 + rem):        # g-remainder head, unrolled
+            t_new = recur(t_old, t_cur)
+            acc = add_acc(acc, c[:, k], t_new)
+            t_old, t_cur = t_cur, t_new
+        if n_tail - rem:
+            cg = c[:, 2 + rem:].T.reshape(-1, g, nf)
+
+            def gstep(carry, ckg):
+                t_old, t_cur, acc = carry
+                terms = []
+                for _ in range(g):
+                    t_new = recur(t_old, t_cur)
+                    terms.append(t_new)
+                    t_old, t_cur = t_cur, t_new
+                # elementwise (VPU) coefficient fold — bit-identical
+                # to the ungrouped body (an MXU tensordot at DEFAULT
+                # precision would round f32 through bf16)
+                acc = tuple(
+                    a + sum(ckg[j].reshape(bshape) * terms[j][i][None]
+                            for j in range(g))
+                    for i, a in enumerate(acc))
+                return (t_old, t_cur, acc), None
+
+            (_, _, acc), _ = jax.lax.scan(gstep, (t_old, t_cur, acc), cg)
+    return acc[0] if len(acc) == 1 else jnp.concatenate(acc, axis=1)
+
+
 def _sharded_cheby_op_chunkcarried(sg, lmax, c, x, mesh, ell, cdt):
     """Chunk-carried sharded Chebyshev: the multi-chip unification of the
     single-chip chunked-carry fusion (``ops/chebyshev._cheby_op_chunked``).
@@ -280,60 +343,8 @@ def _sharded_cheby_op_chunkcarried(sg, lmax, c, x, mesh, ell, cdt):
                 t_chunks = t_chunks + chunk_signal(halo_recv(t_chunks), R)
             return windowed_spmm_chunks(imat, t_chunks, **spmm_kw)
 
-        t_old = cast(xc)
-        y0 = offdiag_apply(t_old)
-        t_cur = cast(tuple((d * xk + yk - a2 * xk) / a1
-                           for d, xk, yk in zip(diag_c, xc, y0)))
-        acc = tuple(0.5 * c[:, 0].reshape(bshape) * xk[None]
-                    + c[:, 1].reshape(bshape) * tc.astype(odt)[None]
-                    for xk, tc in zip(xc, t_cur))
-
-        if m1 > 2:
-            def recur(t_old, t_cur):
-                yc = offdiag_apply(t_cur)
-                return cast(tuple(fd * tk + sc * yk - to
-                                  for fd, tk, yk, to in
-                                  zip(fdiag_c, t_cur, yc, t_old)))
-
-            def add_acc(acc, ckk, t_new):
-                return tuple(a + ckk.reshape(bshape) * t[None]
-                             for a, t in zip(acc, t_new))
-
-            # accumulator grouping: fold g coefficient updates into one
-            # pass over the Nf accumulators (same lever as single-chip,
-            # default g=4; PYGSP_SHARDED_ACC_GROUP overrides)
-            import os as _os
-            g_env = _os.environ.get('PYGSP_SHARDED_ACC_GROUP')
-            g = max(1, int(g_env)) if g_env else 4
-            n_tail = m1 - 2
-            g = min(g, n_tail)
-            rem = n_tail % g
-            for k in range(2, 2 + rem):        # g-remainder head, unrolled
-                t_new = recur(t_old, t_cur)
-                acc = add_acc(acc, c[:, k], t_new)
-                t_old, t_cur = t_cur, t_new
-            if n_tail - rem:
-                cg = c[:, 2 + rem:].T.reshape(-1, g, nf)
-
-                def gstep(carry, ckg):
-                    t_old, t_cur, acc = carry
-                    terms = []
-                    for _ in range(g):
-                        t_new = recur(t_old, t_cur)
-                        terms.append(t_new)
-                        t_old, t_cur = t_cur, t_new
-                    # elementwise (VPU) coefficient fold — bit-identical
-                    # to the ungrouped body (an MXU tensordot at DEFAULT
-                    # precision would round f32 through bf16)
-                    acc = tuple(
-                        a + sum(ckg[j].reshape(bshape) * terms[j][i][None]
-                                for j in range(g))
-                        for i, a in enumerate(acc))
-                    return (t_old, t_cur, acc), None
-
-                (_, _, acc), _ = jax.lax.scan(gstep, (t_old, t_cur, acc),
-                                              cg)
-        return acc[0] if len(acc) == 1 else jnp.concatenate(acc, axis=1)
+        return _chunkcarried_scan(xc, diag_c, fdiag_c, offdiag_apply, c,
+                                  a1, a2, sc, cast, odt, bshape)
 
     if np.ndim(x) > 1:
         xspec = P('graph', 'batch')

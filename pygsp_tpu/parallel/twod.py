@@ -222,26 +222,60 @@ def partition_graph_2d(W, pr: int, pc: int,
 
 
 def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
-                        chunk_rows=None, slab_width=None, hub_degree=None):
+                        chunk_rows=None, slab_width=None, hub_degree=None,
+                        ring: bool = False):
     """Windowed-compact layout of every device's edge block (the
     single-chip hot-path format, :mod:`pygsp_tpu.core.windowed`) for the
     local SpMM inside :func:`cheby_op_2d` — scatter-free slab gathers +
     one-hot MXU fold instead of the COO segment-sum (which XLA serializes
     on power-law hub rows). Shapes are unified across devices by the same
-    pooled-width/sentinel-tier machinery as the 1-D path."""
+    pooled-width/sentinel-tier machinery as the 1-D path.
+
+    ``ring=True`` (the deployed 2-D layout): returns a TUPLE of ``pr``
+    matrices, one per ring step of the double-buffered all-gather. Device
+    ``(i, j)``'s step-``k`` matrix holds the block column of source slice
+    ``((i − k) mod pr, j)`` with columns rebased to ``[0, n_local)`` — at
+    ring step ``k`` the in-flight buffer holds exactly that slice, so the
+    fold uses a STATIC sub-matrix while the NEXT shift's ``ppermute`` is
+    already issued (comm overlaps compute; see :func:`cheby_op_2d`). All
+    ``pr`` matrices share one ``chunk_rows`` so the chunk-carried
+    recurrence's buffers feed every step directly.
+    """
     from pygsp_tpu.core.windowed import WINDOW_ROWS
     from pygsp_tpu.parallel.windowed_shards import _build
     rows = np.asarray(tg.rows)
     cols = np.asarray(tg.cols)
     vals = np.asarray(tg.vals)
     n_row_ext = tg.pc * tg.n_local
-    parts = []
-    for d_ in range(tg.n_devices):
-        real = rows[d_] < n_row_ext
-        parts.append((rows[d_][real], cols[d_][real], vals[d_][real]))
-    return _build(n_row_ext, vals.dtype, parts, tg.pr * tg.n_local,
-                  window_rows or WINDOW_ROWS, chunk_rows, slab_width,
-                  hub_degree)
+    if not ring:
+        parts = []
+        for d_ in range(tg.n_devices):
+            real = rows[d_] < n_row_ext
+            parts.append((rows[d_][real], cols[d_][real], vals[d_][real]))
+        return _build(n_row_ext, vals.dtype, parts, tg.pr * tg.n_local,
+                      window_rows or WINDOW_ROWS, chunk_rows, slab_width,
+                      hub_degree)
+
+    P_ = window_rows or WINDOW_ROWS
+    if chunk_rows is None:
+        from pygsp_tpu.core.windowed import auto_chunk_rows
+        nnz_est = int(sum((rows[d_] < n_row_ext).sum()
+                          for d_ in range(tg.n_devices)))
+        chunk_rows = auto_chunk_rows(
+            nnz_est // max(tg.n_devices * tg.pr, 1), n_row_ext,
+            tg.n_local, P_)
+    mats = []
+    for k in range(tg.pr):
+        parts = []
+        for d_ in range(tg.n_devices):
+            i = d_ // tg.pc
+            real = rows[d_] < n_row_ext
+            r, c_, v = rows[d_][real], cols[d_][real], vals[d_][real]
+            sel = (i - c_ // tg.n_local) % tg.pr == k
+            parts.append((r[sel], c_[sel] % tg.n_local, v[sel]))
+        mats.append(_build(n_row_ext, vals.dtype, parts, tg.n_local,
+                           P_, chunk_rows, slab_width, hub_degree))
+    return tuple(mats)
 
 
 def _matvec_2d(rows, cols, vals, diag, x_local, *, pc, n_local,
@@ -320,6 +354,9 @@ def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh, ell=None,
         from pygsp_tpu.ops.chebyshev import _check_carry_budget
         _check_carry_budget(c, cdt, carry_tol)
 
+    if isinstance(ell, tuple):
+        return _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt)
+
     def body(rows, cols, vals, diag, ell, c, lmax, x_local):
         rows, cols, vals, diag = rows[0], cols[0], vals[0], diag[0]
         a1 = lmax / 2
@@ -358,3 +395,90 @@ def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh, ell=None,
         in_specs=(gspec, gspec, gspec, gspec, ell_spec, P(), P(), xspec),
         out_specs=ospec)
     return f(tg.rows, tg.cols, tg.vals, tg.diag, ell, c, lmax, x)
+
+
+def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt):
+    """Ring-overlapped, chunk-carried 2-D Chebyshev (the deployed layout).
+
+    ``ell`` is :func:`twod_local_windowed(..., ring=True)`'s tuple of
+    ``pr`` step matrices. Each matvec replaces the monolithic
+    ``all_gather`` with ``pr − 1`` single-shift ``ppermute`` steps along
+    'row': at step ``k`` the NEXT shift is issued BEFORE the fold of the
+    in-flight buffer, so the interconnect transfer runs underneath the
+    step's local fold (double-buffered all-gather-matmul — the fold has
+    no data dependency on the shift it hides). The recurrence state is
+    carried as per-chunk tuples like the 1-D path
+    (:func:`pygsp_tpu.parallel.sharded._sharded_cheby_op_chunkcarried`),
+    eliminating the per-step chunk/unchunk copies of the round-3 body
+    (``TWOD_ONCHIP_r3.json``: 1.42x layout overhead at 1×1).
+    """
+    from pygsp_tpu.parallel.sharded import _chunkcarried_scan
+    nf, m1 = c.shape
+    pr, pc, n_local = tg.pr, tg.pc, tg.n_local
+    R = ell[0].chunk_rows
+
+    def body(diag, ell_sl, c, lmax, x_local):
+        from pygsp_tpu.core.chunked import chunk_signal
+        from pygsp_tpu.core.windowed import windowed_spmm_chunks
+        diag = diag[0]
+        odt = x_local.dtype
+        a1 = lmax / 2
+        a2 = lmax / 2
+        sc = 2.0 / a1
+        bshape = (nf,) + (1,) * x_local.ndim
+        mats = tuple(e.local_matrix() for e in ell_sl)
+        dsh = (-1,) + (1,) * (x_local.ndim - 1)
+        diag_c = chunk_signal(diag.reshape(dsh), R)
+        fdiag_c = chunk_signal(((diag - a2) * sc).reshape(dsh), R)
+        xc = chunk_signal(x_local, R)
+
+        if cdt is None:
+            def cast(t):
+                return t
+            spmm_kw = {}
+        else:
+            def cast(t):
+                return tuple(tk.astype(cdt) for tk in t)
+            spmm_kw = {'out_dtype': odt}
+
+        rperm = [(r, (r + 1) % pr) for r in range(pr)]
+
+        def offdiag_apply(t_chunks):
+            buf = t_chunks
+            y = None
+            for k in range(pr):
+                if k < pr - 1:
+                    # issue the next shift BEFORE folding the in-flight
+                    # buffer: the fold does not depend on it, so the
+                    # transfer overlaps the compute
+                    with jax.named_scope('ring_shift'):
+                        nxt = tuple(jax.lax.ppermute(b, 'row', rperm)
+                                    for b in buf)
+                else:
+                    nxt = None
+                with jax.named_scope('ring_fold'):
+                    yk = windowed_spmm_chunks(mats[k], buf, **spmm_kw)
+                y = yk if y is None else tuple(a + b
+                                               for a, b in zip(y, yk))
+                buf = nxt
+            if pc > 1:
+                yf = y[0] if len(y) == 1 else jnp.concatenate(y)
+                with jax.named_scope('psum_scatter_rowgroup'):
+                    yf = jax.lax.psum_scatter(yf, 'col',
+                                              scatter_dimension=0,
+                                              tiled=True)
+                return chunk_signal(yf, R)
+            return y
+
+        return _chunkcarried_scan(xc, diag_c, fdiag_c, offdiag_apply, c,
+                                  a1, a2, sc, cast, odt, bshape)
+
+    gspec = P(('row', 'col'))
+    xspec = P(('row', 'col'), *(None,) * (np.ndim(x) - 1))
+    ospec = P(None, ('row', 'col'), *(None,) * (np.ndim(x) - 1))
+    ell_spec = jax.tree.map(lambda _: gspec, ell)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(gspec, ell_spec, P(), P(), xspec),
+        out_specs=ospec)
+    return f(tg.diag, ell, c, lmax, x)

@@ -482,6 +482,49 @@ def test_2d_autodiff_and_bf16(problem):
 
 
 @requires_multi
+def test_2d_ring_overlapped(problem):
+    """Ring-overlapped chunk-carried 2-D path (the deployed 2-D layout):
+    per-step ppermute + static step matrices == unsharded reference on
+    square and degenerate meshes; bf16 ring payload within budget; grads
+    flow through the ppermute chain and psum_scatter."""
+    from pygsp_tpu.parallel import (cheby_op_2d, make_mesh_2d,
+                                    partition_graph_2d,
+                                    twod_local_windowed)
+    G, x, lap_type = problem
+    G.estimate_lmax()
+    lmax = float(G.lmax)
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[5, 20]).evaluate,
+                          lmax, m=12)
+    ref = np.asarray(cheby.cheby_op(G.L, lmax, c, jnp.asarray(x)))
+
+    for pr, pc in ((2, 2), (4, 1)):
+        tg = partition_graph_2d(G.W, pr, pc, lap_type=lap_type)
+        ell = twod_local_windowed(tg, ring=True, chunk_rows=64)
+        assert isinstance(ell, tuple) and len(ell) == pr
+        mesh = make_mesh_2d(pr, pc)
+        xp = tg.pad_signal(x)
+        perm = np.asarray(tg.perm)
+        out = cheby_op_2d(tg, lmax, c, xp, mesh, ell=ell)
+        got = np.asarray(out)[:, perm, :]
+        assert np.allclose(got, ref, atol=1e-9)
+
+    out16 = cheby_op_2d(tg, lmax, c, xp, mesh, ell=ell,
+                        carry_dtype=jnp.bfloat16)
+    rel = (np.abs(np.asarray(out16)[:, perm, :] - ref).max()
+           / np.abs(ref).max())
+    assert rel < 1.5e-2, rel
+
+    def loss(scale):
+        cs = cheby.cheby_coeff(
+            lambda lam: jnp.exp(-scale * lam / lmax)[None], lmax, m=8)
+        return jnp.sum(cheby_op_2d(tg, lmax, cs, xp, mesh, ell=ell) ** 2)
+
+    g1 = jax.grad(loss)(5.0)
+    fd = (loss(5.0 + 1e-4) - loss(5.0 - 1e-4)) / 2e-4
+    assert np.isclose(float(g1), float(fd), rtol=1e-4)
+
+
+@requires_multi
 def test_2d_windowed_local_spmm(problem):
     """2-D path with the windowed-compact local block format matches the
     COO segment-sum path and the unsharded reference."""
