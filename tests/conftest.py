@@ -14,6 +14,16 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                            + ' --xla_force_host_platform_device_count=8')
 
+# Accumulator grouping unrolls g recurrence steps per scan body — a pure
+# throughput lever on the chip, but on CPU it multiplies every shard_map
+# compile (the suite's dominant cost: test_parallel alone was ~45 min at
+# the g=4/g=14 defaults). Tests don't measure performance, so pin g=1;
+# the grouped-fold arithmetic keeps dedicated parity coverage
+# (test_chebyshev::test_acc_group_parity,
+# test_parallel::test_sharded_acc_group_parity).
+os.environ.setdefault('PYGSP_CHEBY_ACC_GROUP', '1')
+os.environ.setdefault('PYGSP_SHARDED_ACC_GROUP', '1')
+
 import jax  # noqa: E402
 
 jax.config.update('jax_enable_x64', True)
@@ -35,6 +45,44 @@ def pytest_configure(config):
     config.addinivalue_line(
         'markers', 'reference: tests comparing against the live reference '
         'implementation (skipped when /root/reference is absent)')
+    config.addinivalue_line(
+        'markers', 'slow: multi-minute tests (shard_map compiles, '
+        "tutorial execution, process spawns); deselect with -m 'not slow' "
+        'for the fast tier')
+
+
+# Central slow-tier list (measured durations in the round-3 full run +
+# this round's additions). Full names incl. the param for parametrized
+# tests; fnmatch patterns allowed. Everything else forms the fast tier
+# (`pytest -m 'not slow'`, target < 10 min).
+_SLOW_PATTERNS = [
+    'test_sharded_fixed_graph_vjp',            # 717s (fwd+bwd shard_map)
+    'test_sharded_fixed_graph_vjp_1d',         # 55s
+    'test_sharded_ell_autodiff*',              # 286s
+    'test_sharded_windowed_autodiff',          # 222s
+    'test_sharded_windowed_matches',           # 196s
+    'test_sharded_windowed_multichunk',        # 420s (round-4)
+    'test_sharded_acc_group_parity',           # 2 shard_map compiles
+    'test_sharded_ell_matches*',               # 162s + 136s
+    'test_sharded_split_boundary*',            # 135s + 120s
+    'test_sharded_autodiff*',                  # 65s + 58s
+    'test_sharded_bf16_carry*',                # 51s + 49s
+    'test_sharded_cheby_1d_signal*',           # 39s + 29s
+    'test_2d_autodiff_and_bf16*',              # 32s + 28s
+    'test_2d_ring_overlapped*',                # 227s (round-4)
+    'test_cluster_reorder_parity_and_quality',  # 37s
+    'test_two_process_sharded_cheby',          # jax.distributed spawn
+    'test_tutorial_blocks[scaling.md]',        # 72s
+    'test_tutorial_blocks[training.md]',       # 46s
+    'test_example_runs[tpu_scaling.py]',       # 44s
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    import fnmatch
+    for item in items:
+        if any(fnmatch.fnmatch(item.name, p) for p in _SLOW_PATTERNS):
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope='session')

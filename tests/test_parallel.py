@@ -199,6 +199,29 @@ def test_sharded_windowed_matches():
 
 
 @requires_multi
+def test_sharded_acc_group_parity(monkeypatch):
+    """Grouped sharded accumulator fold (g=3) == the pinned g=1 body
+    (the conftest pins PYGSP_SHARDED_ACC_GROUP=1 for compile speed;
+    this is the grouped coverage), through the chunk-carried path."""
+    from pygsp_tpu.parallel import shard_local_windowed
+    G = gsp.graphs.Sensor(400, seed=2)
+    G.estimate_lmax(method='bounds')
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(G.N, 4))
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[2, 20]).evaluate,
+                          G.lmax, m=11)    # m-2=9: head remainder at g=3
+    sg = partition_graph(G.W, 4)
+    ell = shard_local_windowed(sg, split_boundary=True)
+    mesh = make_mesh(4, 2)
+    xp = sg.pad_signal(x)
+    monkeypatch.setenv('PYGSP_SHARDED_ACC_GROUP', '1')
+    want = np.asarray(sharded_cheby_op(sg, G.lmax, c, xp, mesh, ell=ell))
+    monkeypatch.setenv('PYGSP_SHARDED_ACC_GROUP', '3')
+    got = np.asarray(sharded_cheby_op(sg, G.lmax, c, xp, mesh, ell=ell))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-13)
+
+
+@requires_multi
 def test_sharded_windowed_multichunk():
     """Chunk-carried sharded recurrence with n_local spanning SEVERAL
     source chunks: exercises the masked halo gather-from-chunks

@@ -121,6 +121,32 @@ def test_windowed_cheby_matches_plain(lap_type):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.parametrize('g', [3, 5])
+def test_acc_group_parity(g, monkeypatch):
+    """Grouped accumulator fold (g recurrence steps per scan body) is
+    bit-compatible with the g=1 body the suite otherwise pins
+    (conftest sets PYGSP_CHEBY_ACC_GROUP=1 to keep CPU compiles small;
+    this test is the grouped coverage)."""
+    rng = np.random.default_rng(23)
+    W = _random_powerlaw(400, rng)
+    L = laplacian_op(sp.from_scipy(W), 'combinatorial')
+    Lw = L.to_windowed(chunk_rows=96, window_rows=32)
+    lmax = 1.02 * float(abs(sps.linalg.eigsh(
+        L.to_scipy(), k=1, return_eigenvectors=False)[0]))
+
+    def evaluate(lam):
+        scales = jnp.asarray([1.0, 5.0, 25.0])
+        return jnp.exp(-scales[:, None] * lam[None, :] / lmax)
+
+    c = cheby.cheby_coeff(evaluate, lmax, m=17)   # m-2=15: head remainder
+    x = jnp.asarray(rng.normal(size=(400, 3)))
+    monkeypatch.setenv('PYGSP_CHEBY_ACC_GROUP', '1')
+    want = np.asarray(cheby.cheby_op(Lw, lmax, c, x))
+    monkeypatch.setenv('PYGSP_CHEBY_ACC_GROUP', str(g))
+    got = np.asarray(cheby.cheby_op(Lw, lmax, c, x))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-13)
+
+
 def test_windowed_scale_astype_abs():
     rng = np.random.default_rng(13)
     W = _random_powerlaw(150, rng)
