@@ -132,6 +132,14 @@ def cheby_op(L: LaplacianOp, lmax, c, x: jax.Array,
             # under jit the coefficients are traced; callers gate at
             # program-build time instead (Filter._cheby_program does)
             _check_carry_budget(c, carry_dtype, carry_tol)
+    # mixed operator/signal dtypes (e.g. f64 graph under x64, f32
+    # signal): promote the signal ONCE so the scan carry holds one dtype
+    # throughout — the first SpMM would otherwise widen t_cur but not
+    # t_old, and whether that broke the carry contract depended on the
+    # accumulator-group remainder (g-dependent TypeError)
+    pdt = jnp.promote_types(x.dtype, L.offdiag.dtype)
+    if carry_dtype is None and x.dtype != pdt:
+        x = x.astype(pdt)
     if isinstance(L.offdiag, (ChunkedELLMatrix, WindowedELLMatrix)):
         return _cheby_op_chunked(L, lmax, c, x, carry_dtype=carry_dtype)
     lmax = jnp.asarray(lmax, dtype=x.dtype)
@@ -370,13 +378,16 @@ def _cheby_op_fg_bwd(res, g):
     c_shape = jnp.shape(c)           # cotangent must match the primal rank
     c = jnp.atleast_2d(c)
     nf, m1 = c.shape
+    x_dt = x.dtype                   # cotangent dtype must match primal
+    x = x.astype(jnp.promote_types(x.dtype, L.offdiag.dtype))
     lmax = jnp.asarray(lmax, dtype=x.dtype)
     a1 = lmax / 2
     a2 = lmax / 2
 
     # x̄: adjoint series on the cotangent bank, feature axis moved last
     # (cheby_synthesis dispatches to the chunked hot path itself)
-    x_bar = cheby_synthesis(L, lmax, c, jnp.moveaxis(g, 0, -1))
+    x_bar = cheby_synthesis(L, lmax, c,
+                            jnp.moveaxis(g, 0, -1)).astype(x_dt)
 
     # c̄: forward recurrence on x, each term contracted with every ḡ_f
     from pygsp_tpu.core.chunked import ChunkedELLMatrix
@@ -447,6 +458,7 @@ def cheby_rect(L: LaplacianOp, lmax, bounds, x: jax.Array,
     Math of ``cheby_rect`` (``approximations.py:117-163``): coefficients are
     the analytic Chebyshev series of the indicator of [b1, b2] ⊂ [0, lmax].
     """
+    x = x.astype(jnp.promote_types(x.dtype, L.offdiag.dtype))
     lmax = jnp.asarray(lmax, dtype=x.dtype)
     bounds = jnp.asarray(bounds, dtype=x.dtype)
     m = order + 1
@@ -552,6 +564,9 @@ def cheby_synthesis(L: LaplacianOp, lmax, c, x: jax.Array,
                              'windowed operator formats (the hot path)')
         if not isinstance(c, jax.core.Tracer):
             _check_carry_budget(c, carry_dtype, carry_tol)
+    pdt = jnp.promote_types(x.dtype, L.offdiag.dtype)
+    if carry_dtype is None and x.dtype != pdt:
+        x = x.astype(pdt)     # one-dtype scan carry (see cheby_op)
     if isinstance(L.offdiag, (ChunkedELLMatrix, WindowedELLMatrix)):
         return _cheby_synthesis_chunked(L, lmax, c, x,
                                         carry_dtype=carry_dtype)

@@ -204,21 +204,79 @@ def _chunkcarried_layout(sg, ell):
     return None
 
 
+def _sharded_acc_group(x, nf, ell, cdt, n_shards):
+    """Accumulator-group size for the sharded recurrence: the single-chip
+    memory-aware rule (``ops.chebyshev._cheby_op_chunked``) on per-shard
+    sizes — largest g whose g recurrence-term buffers fit the device
+    budget after the layout slabs and the Nf accumulators. Measured at
+    the bench config (``SHARDED_ONCHIP_r4.json``): g=14 2311 ms vs g=4
+    2416 ms vs plain_auto 2454 ms. ``PYGSP_SHARDED_ACC_GROUP`` overrides.
+    """
+    import os
+    g_env = os.environ.get('PYGSP_SHARDED_ACC_GROUP')
+    if g_env:
+        return max(1, int(g_env))
+    per_shard = max(int(np.prod(jnp.shape(x))) // max(n_shards, 1), 1)
+    odt_b = jnp.dtype(jnp.result_type(x)).itemsize
+    term_bytes = per_shard * (jnp.dtype(cdt).itemsize if cdt is not None
+                              else odt_b)
+    acc_bytes = per_shard * odt_b
+    slab_bytes = sum(l.size * l.dtype.itemsize
+                     for l in jax.tree_util.tree_leaves(ell)) \
+        // max(n_shards, 1)
+    budget = float(os.environ.get('PYGSP_CHEBY_DEVICE_MB', 12288)) * 2**20
+    avail = budget - slab_bytes - nf * acc_bytes - 4 * max(term_bytes,
+                                                           acc_bytes)
+    return max(1, min(14, int(avail // max(term_bytes, 1))))
+
+
 def _chunkcarried_scan(xc, diag_c, fdiag_c, offdiag_apply, c, a1, a2, sc,
-                       cast, odt, bshape):
+                       cast, odt, bshape, acc_group=4, synthesis=False):
     """The chunk-carried Chebyshev recurrence body (inside shard_map):
     mirror of the single-chip ``ops.chebyshev._cheby_op_chunked`` scan,
     parameterized on the distributed ``offdiag_apply`` (1-D halo exchange
     or 2-D ring all-gather). ``xc``/``diag_c``/``fdiag_c``: per-chunk
-    tuples; returns the concatenated ``(Nf, n_local, ...)`` bank."""
+    tuples.
+
+    ``synthesis=False`` (analysis): broadcast accumulation — returns the
+    concatenated ``(Nf, n_local, ...)`` bank. ``synthesis=True``: signals
+    carry a trailing filter axis that each step CONTRACTS
+    (``Σ_f c[f,k]·T̃_k y_f``, single-chip ``_cheby_synthesis_chunked``) —
+    returns ``(n_local, ...)``."""
     nf, m1 = c.shape
+    if synthesis:
+        def acc0(xk, tck):
+            return jnp.sum(0.5 * c[:, 0] * xk + c[:, 1] * tck.astype(odt),
+                           axis=-1)
+
+        def acc1(a, ckk, tk):
+            return a + jnp.sum(ckk * tk.astype(odt), axis=-1)
+
+        def accg(a, ckg, terms_i):
+            return a + sum(jnp.sum(ckg[j] * terms_i[j].astype(odt),
+                                   axis=-1)
+                           for j in range(len(terms_i)))
+    else:
+        def acc0(xk, tck):
+            return (0.5 * c[:, 0].reshape(bshape) * xk[None]
+                    + c[:, 1].reshape(bshape) * tck.astype(odt)[None])
+
+        def acc1(a, ckk, tk):
+            return a + ckk.reshape(bshape) * tk.astype(odt)[None]
+
+        def accg(a, ckg, terms_i):
+            # elementwise (VPU) coefficient fold — bit-identical to the
+            # ungrouped body (an MXU tensordot at DEFAULT precision
+            # would round f32 through bf16)
+            return a + sum(ckg[j].reshape(bshape)
+                           * terms_i[j].astype(odt)[None]
+                           for j in range(len(terms_i)))
+
     t_old = cast(xc)
     y0 = offdiag_apply(t_old)
     t_cur = cast(tuple((d * xk + yk - a2 * xk) / a1
                        for d, xk, yk in zip(diag_c, xc, y0)))
-    acc = tuple(0.5 * c[:, 0].reshape(bshape) * xk[None]
-                + c[:, 1].reshape(bshape) * tc.astype(odt)[None]
-                for xk, tc in zip(xc, t_cur))
+    acc = tuple(acc0(xk, tc) for xk, tc in zip(xc, t_cur))
 
     if m1 > 2:
         def recur(t_old, t_cur):
@@ -227,22 +285,16 @@ def _chunkcarried_scan(xc, diag_c, fdiag_c, offdiag_apply, c, a1, a2, sc,
                               for fd, tk, yk, to in
                               zip(fdiag_c, t_cur, yc, t_old)))
 
-        def add_acc(acc, ckk, t_new):
-            return tuple(a + ckk.reshape(bshape) * t[None]
-                         for a, t in zip(acc, t_new))
-
         # accumulator grouping: fold g coefficient updates into one
-        # pass over the Nf accumulators (same lever as single-chip,
-        # default g=4; PYGSP_SHARDED_ACC_GROUP overrides)
-        import os as _os
-        g_env = _os.environ.get('PYGSP_SHARDED_ACC_GROUP')
-        g = max(1, int(g_env)) if g_env else 4
+        # pass over the accumulators (same lever as single-chip;
+        # size chosen by _sharded_acc_group, env-overridable)
+        g = acc_group
         n_tail = m1 - 2
         g = min(g, n_tail)
         rem = n_tail % g
         for k in range(2, 2 + rem):        # g-remainder head, unrolled
             t_new = recur(t_old, t_cur)
-            acc = add_acc(acc, c[:, k], t_new)
+            acc = tuple(acc1(a, c[:, k], t) for a, t in zip(acc, t_new))
             t_old, t_cur = t_cur, t_new
         if n_tail - rem:
             cg = c[:, 2 + rem:].T.reshape(-1, g, nf)
@@ -254,20 +306,80 @@ def _chunkcarried_scan(xc, diag_c, fdiag_c, offdiag_apply, c, a1, a2, sc,
                     t_new = recur(t_old, t_cur)
                     terms.append(t_new)
                     t_old, t_cur = t_cur, t_new
-                # elementwise (VPU) coefficient fold — bit-identical
-                # to the ungrouped body (an MXU tensordot at DEFAULT
-                # precision would round f32 through bf16)
                 acc = tuple(
-                    a + sum(ckg[j].reshape(bshape) * terms[j][i][None]
-                            for j in range(g))
+                    accg(a, ckg, [terms[j][i] for j in range(g)])
                     for i, a in enumerate(acc))
                 return (t_old, t_cur, acc), None
 
             (_, _, acc), _ = jax.lax.scan(gstep, (t_old, t_cur, acc), cg)
+    if synthesis:
+        return acc[0] if len(acc) == 1 else jnp.concatenate(acc, axis=0)
     return acc[0] if len(acc) == 1 else jnp.concatenate(acc, axis=1)
 
 
-def _sharded_cheby_op_chunkcarried(sg, lmax, c, x, mesh, ell, cdt):
+def _chunk_body_setup(sg, split, diag, send_idx, ell_sl, lmax, x_local,
+                      cdt):
+    """Shared per-shard setup of the chunk-carried recurrence (inside
+    shard_map): chunked signal/diag tuples, the carry cast, and the
+    ``offdiag_apply`` closure (halo exchange + windowed folds on chunk
+    tuples). Used by the forward/synthesis body and the fixed-graph
+    backward's coefficient-gradient body."""
+    from pygsp_tpu.core.chunked import chunk_signal
+    from pygsp_tpu.core.windowed import windowed_spmm_chunks
+    n_shards = sg.n_shards
+    odt = x_local.dtype
+    a1 = lmax / 2
+    a2 = lmax / 2
+    sc = 2.0 / a1
+    imat = (ell_sl[0] if split else ell_sl).local_matrix()
+    bmat = ell_sl[1].local_matrix() if split else None
+    R = imat.chunk_rows
+    dsh = (-1,) + (1,) * (x_local.ndim - 1)
+    diag_c = chunk_signal(diag.reshape(dsh), R)
+    fdiag_c = chunk_signal(((diag - a2) * sc).reshape(dsh), R)
+    xc = chunk_signal(x_local, R)
+
+    if cdt is None:
+        def cast(t):
+            return t
+        spmm_kw = {}
+    else:
+        def cast(t):
+            return tuple(tk.astype(cdt) for tk in t)
+        spmm_kw = {'out_dtype': odt}
+
+    def halo_recv(t_chunks):
+        # send rows gathered from the carry tuple — the ppermute
+        # payload is the CARRY dtype (bf16 mode halves wire bytes)
+        with jax.named_scope('halo_exchange'):
+            blocks = []
+            for d, sidx in zip(sg.halo_dists, send_idx):
+                send = _gather_from_chunks(t_chunks, sidx, R)
+                if n_shards > 1:
+                    perm = [(i, (i + d) % n_shards)
+                            for i in range(n_shards)]
+                    send = jax.lax.ppermute(send, 'graph', perm)
+                blocks.append(send)
+            return (jnp.concatenate(blocks, axis=0)
+                    if len(blocks) > 1 else blocks[0])
+
+    def offdiag_apply(t_chunks):
+        if split:
+            y = windowed_spmm_chunks(imat, t_chunks, **spmm_kw)
+            if bmat.nnz:
+                rc = chunk_signal(halo_recv(t_chunks), R)
+                yb = windowed_spmm_chunks(bmat, rc, **spmm_kw)
+                y = tuple(a + b for a, b in zip(y, yb))
+            return y
+        if sg.halo_total:
+            t_chunks = t_chunks + chunk_signal(halo_recv(t_chunks), R)
+        return windowed_spmm_chunks(imat, t_chunks, **spmm_kw)
+
+    return xc, diag_c, fdiag_c, offdiag_apply, cast, odt, a1, a2, sc
+
+
+def _sharded_cheby_op_chunkcarried(sg, lmax, c, x, mesh, ell, cdt,
+                                   synthesis=False):
     """Chunk-carried sharded Chebyshev: the multi-chip unification of the
     single-chip chunked-carry fusion (``ops/chebyshev._cheby_op_chunked``).
 
@@ -287,66 +399,28 @@ def _sharded_cheby_op_chunkcarried(sg, lmax, c, x, mesh, ell, cdt):
     lmax = jnp.asarray(lmax, dtype=sg.dtype)
     split = isinstance(ell, tuple)
     n_shards = sg.n_shards
+    g_acc = _sharded_acc_group(x, nf, ell, cdt, n_shards)
 
     def body(rows, cols, vals, diag, send_idx, ell_sl, c, lmax, x_local):
-        from pygsp_tpu.core.chunked import chunk_signal
-        from pygsp_tpu.core.windowed import windowed_spmm_chunks
         del rows, cols, vals
-        diag = diag[0]
-        send_idx = tuple(s[0] for s in send_idx)
-        odt = x_local.dtype
-        a1 = lmax / 2
-        a2 = lmax / 2
-        sc = 2.0 / a1
+        (xc, diag_c, fdiag_c, offdiag_apply, cast, odt, a1, a2,
+         sc) = _chunk_body_setup(sg, split, diag[0],
+                                 tuple(s[0] for s in send_idx), ell_sl,
+                                 lmax, x_local, cdt)
         bshape = (nf,) + (1,) * x_local.ndim
-        imat = (ell_sl[0] if split else ell_sl).local_matrix()
-        bmat = ell_sl[1].local_matrix() if split else None
-        R = imat.chunk_rows
-        dsh = (-1,) + (1,) * (x_local.ndim - 1)
-        diag_c = chunk_signal(diag.reshape(dsh), R)
-        fdiag_c = chunk_signal(((diag - a2) * sc).reshape(dsh), R)
-        xc = chunk_signal(x_local, R)
-
-        if cdt is None:
-            def cast(t):
-                return t
-            spmm_kw = {}
-        else:
-            def cast(t):
-                return tuple(tk.astype(cdt) for tk in t)
-            spmm_kw = {'out_dtype': odt}
-
-        def halo_recv(t_chunks):
-            # send rows gathered from the carry tuple — the ppermute
-            # payload is the CARRY dtype (bf16 mode halves wire bytes)
-            with jax.named_scope('halo_exchange'):
-                blocks = []
-                for d, sidx in zip(sg.halo_dists, send_idx):
-                    send = _gather_from_chunks(t_chunks, sidx, R)
-                    if n_shards > 1:
-                        perm = [(i, (i + d) % n_shards)
-                                for i in range(n_shards)]
-                        send = jax.lax.ppermute(send, 'graph', perm)
-                    blocks.append(send)
-                return (jnp.concatenate(blocks, axis=0)
-                        if len(blocks) > 1 else blocks[0])
-
-        def offdiag_apply(t_chunks):
-            if split:
-                y = windowed_spmm_chunks(imat, t_chunks, **spmm_kw)
-                if bmat.nnz:
-                    rc = chunk_signal(halo_recv(t_chunks), R)
-                    yb = windowed_spmm_chunks(bmat, rc, **spmm_kw)
-                    y = tuple(a + b for a, b in zip(y, yb))
-                return y
-            if sg.halo_total:
-                t_chunks = t_chunks + chunk_signal(halo_recv(t_chunks), R)
-            return windowed_spmm_chunks(imat, t_chunks, **spmm_kw)
-
         return _chunkcarried_scan(xc, diag_c, fdiag_c, offdiag_apply, c,
-                                  a1, a2, sc, cast, odt, bshape)
+                                  a1, a2, sc, cast, odt, bshape,
+                                  acc_group=g_acc, synthesis=synthesis)
 
-    if np.ndim(x) > 1:
+    if synthesis:
+        # trailing filter axis on the signals, contracted away
+        if np.ndim(x) > 2:
+            xspec = P(*(('graph', 'batch') + (None,) * (np.ndim(x) - 2)))
+            ospec = P(*(('graph', 'batch') + (None,) * (np.ndim(x) - 3)))
+        else:
+            xspec = P('graph', None)
+            ospec = P('graph')
+    elif np.ndim(x) > 1:
         xspec = P('graph', 'batch')
         ospec = P(None, 'graph', 'batch')
     else:
@@ -385,6 +459,9 @@ def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh, ell=None,
     if cdt is not None and not isinstance(c, jax.core.Tracer):
         from pygsp_tpu.ops.chebyshev import _check_carry_budget
         _check_carry_budget(c, cdt, carry_tol)
+    if cdt is None and jnp.dtype(x.dtype) != jnp.promote_types(x.dtype,
+                                                               sg.dtype):
+        x = x.astype(jnp.promote_types(x.dtype, sg.dtype))  # one-dtype carry
 
     # windowed-shard layouts run the chunk-carried recurrence (no
     # per-step chunk/unchunk copies — the round-3 1.13x overhead)
@@ -484,13 +561,15 @@ def sharded_cheby_op(sg: ShardedGraph, lmax, c, x, mesh: Mesh, ell=None,
 
 
 def sharded_cheby_synthesis(sg: ShardedGraph, lmax, c, y, mesh: Mesh,
-                            ell=None):
+                            ell=None, carry_dtype=None, carry_tol=None):
     """Synthesis on the sharded graph: per-filter signals, summed.
 
     ``c``: (Nf, m+1); ``y``: (S*n_local, ..., Nf) — feature axis LAST.
     Returns ``Σ_f Σ_k c[f,k] T̃_k(L) y[..., f]`` of shape (S*n_local, ...)
     — the same math as :func:`pygsp_tpu.ops.chebyshev.cheby_synthesis`,
     with the recurrence running Nf× wide through the halo exchange.
+    ``carry_dtype``: reduced-precision carry/halo payload as in
+    :func:`sharded_cheby_op`.
     """
     c = jnp.atleast_2d(c)
     nf, m1 = c.shape
@@ -498,6 +577,16 @@ def sharded_cheby_synthesis(sg: ShardedGraph, lmax, c, y, mesh: Mesh,
     if y.shape[-1] != nf:
         raise ValueError(f'last axis of y ({y.shape[-1]}) must equal the '
                          f'number of filters ({nf})')
+    cdt = jnp.dtype(carry_dtype) if carry_dtype is not None else None
+    if cdt is not None and not isinstance(c, jax.core.Tracer):
+        from pygsp_tpu.ops.chebyshev import _check_carry_budget
+        _check_carry_budget(c, cdt, carry_tol)
+
+    # windowed-shard layouts: chunk-carried recurrence (no per-step
+    # chunk/unchunk copies), contracting the trailing filter axis
+    if _chunkcarried_layout(sg, ell) is not None:
+        return _sharded_cheby_op_chunkcarried(sg, lmax, c, y, mesh, ell,
+                                              cdt, synthesis=True)
 
     def body(rows, cols, vals, diag, send_idx, ell, c, lmax, y_local):
         rows, cols, vals = rows[0], cols[0], vals[0]
@@ -577,6 +666,15 @@ def _sharded_cheby_fg_bwd(mesh, res, g):
     x_bar = sharded_cheby_synthesis(sg, lmax_a, c, jnp.moveaxis(g, 0, -1),
                                     mesh, ell=ell)
 
+    batch_sharded = np.ndim(x) > 1
+    if _chunkcarried_layout(sg, ell) is not None:
+        c_bar = _sharded_coeff_grads_chunkcarried(sg, lmax_a, m1, x, g,
+                                                  mesh, ell, batch_sharded)
+        return (jax.tree_util.tree_map(_zero_cotangent, sg),
+                jax.tree_util.tree_map(_zero_cotangent, ell),
+                _zero_cotangent(lmax),
+                c_bar.astype(c.dtype).reshape(c_shape), x_bar)
+
     # c̄[f,k] = <T̃_k x, ḡ_f>: one sharded forward recurrence on x, each
     # term contracted against every cotangent bank member + global psum
     def body(rows, cols, vals, diag, send_idx, ell, g, lmax, x_local):
@@ -635,3 +733,70 @@ def _sharded_cheby_fg_bwd(mesh, res, g):
 
 
 _sharded_cheby_fg.defvjp(_sharded_cheby_fg_fwd, _sharded_cheby_fg_bwd)
+
+
+def _sharded_coeff_grads_chunkcarried(sg, lmax, m1, x, g, mesh, ell,
+                                      batch_sharded):
+    """``c̄[f,k] = ⟨T̃_k x, ḡ_f⟩`` on the windowed-shard layout with the
+    chunk-carried recurrence (mirror of the single-chip
+    ``_cheby_coeff_grads_chunked``): one exact-f32 forward recurrence on
+    chunk tuples, each term contracted against the chunked cotangent
+    bank, then a global ``psum``."""
+    split = isinstance(ell, tuple)
+
+    def body(diag, send_idx, ell_sl, g, lmax, x_local):
+        (xc, diag_c, fdiag_c, offdiag_apply, cast, odt, a1, a2,
+         sc) = _chunk_body_setup(sg, split, diag[0],
+                                 tuple(s[0] for s in send_idx), ell_sl,
+                                 lmax, x_local, None)
+        del cast
+        # chunk the cotangent bank along its vertex axis to match xc
+        gc, off = [], 0
+        for xk in xc:
+            gc.append(g[:, off:off + xk.shape[0]])
+            off += xk.shape[0]
+
+        def dot_all(t_chunks):
+            s_ = 0
+            for gk, tk in zip(gc, t_chunks):
+                axes = tuple(range(tk.ndim))
+                s_ = s_ + jnp.tensordot(
+                    gk, tk, axes=(tuple(a + 1 for a in axes), axes))
+            s_ = jax.lax.psum(s_, 'graph')
+            # 1-D signals are REPLICATED over 'batch': summing the
+            # copies would scale c̄ by n_batch
+            return jax.lax.psum(s_, 'batch') if batch_sharded else s_
+
+        t_old = xc
+        y0 = offdiag_apply(t_old)
+        t_cur = tuple((d * xk + yk - a2 * xk) / a1
+                      for d, xk, yk in zip(diag_c, xc, y0))
+        s0 = dot_all(t_old)
+        s1 = dot_all(t_cur)
+        if m1 > 2:
+            def step(carry, _):
+                t_old, t_cur = carry
+                yc = offdiag_apply(t_cur)
+                t_new = tuple(fd * tk + sc * yk - to
+                              for fd, tk, yk, to in
+                              zip(fdiag_c, t_cur, yc, t_old))
+                return (t_cur, t_new), dot_all(t_new)
+
+            _, ss = jax.lax.scan(step, (t_old, t_cur), None,
+                                 length=m1 - 2)
+            return jnp.concatenate([(0.5 * s0)[None], s1[None], ss]).T
+        return jnp.stack([0.5 * s0, s1]).T
+
+    if batch_sharded:
+        xspec = P('graph', 'batch')
+        gspec = P(None, 'graph', 'batch')
+    else:
+        xspec = P('graph')
+        gspec = P(None, 'graph')
+    ell_spec = jax.tree.map(lambda _: P('graph'), ell)
+    send_spec = tuple(P('graph') for _ in sg.send_idx)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P('graph'), send_spec, ell_spec, gspec, P(), xspec),
+        out_specs=P())
+    return f(sg.diag, sg.send_idx, ell, g, lmax, x)

@@ -412,10 +412,12 @@ def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt):
     eliminating the per-step chunk/unchunk copies of the round-3 body
     (``TWOD_ONCHIP_r3.json``: 1.42x layout overhead at 1×1).
     """
-    from pygsp_tpu.parallel.sharded import _chunkcarried_scan
+    from pygsp_tpu.parallel.sharded import (_chunkcarried_scan,
+                                            _sharded_acc_group)
     nf, m1 = c.shape
     pr, pc, n_local = tg.pr, tg.pc, tg.n_local
     R = ell[0].chunk_rows
+    g_acc = _sharded_acc_group(x, nf, ell, cdt, tg.n_devices)
 
     def body(diag, ell_sl, c, lmax, x_local):
         from pygsp_tpu.core.chunked import chunk_signal
@@ -471,7 +473,8 @@ def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt):
             return y
 
         return _chunkcarried_scan(xc, diag_c, fdiag_c, offdiag_apply, c,
-                                  a1, a2, sc, cast, odt, bshape)
+                                  a1, a2, sc, cast, odt, bshape,
+                                  acc_group=g_acc)
 
     gspec = P(('row', 'col'))
     xspec = P(('row', 'col'), *(None,) * (np.ndim(x) - 1))
