@@ -85,9 +85,21 @@ def main():
     sharded_ratio = (sh['sh_comb_g14']['per_bank_ms']
                      / sh['plain_auto']['per_bank_ms'])
     t_bf16_plain = bf['bf16/bf16']['per_bank_ms'] / 1e3 / K
-    t_sh_bf16 = t_bf16_plain * sharded_ratio
     t_plain_f32_r2 = bench2['per_bank_ms'] / 1e3 / K
     t_2d = td['twod_ring_1x1']['per_bank_ms'] / 1e3 / K
+    # direct measurements of the deployed bf16 fast mode through BOTH
+    # multi-chip engines at 1 device (SHARDED_BF16_r4.json): bf16-vals
+    # layouts, single-pass MXU fold — 91.4/91.6% of the f32 roofline,
+    # matching the single-chip bf16 rate exactly
+    try:
+        sb = {r['mode']: r for r in load_json_lines(
+            os.path.join(REPO, 'SHARDED_BF16_r4.json')) if 'mode' in r}
+        t_sh_bf16 = sb['sh1_bf16_g14']['per_bank_ms'] / 1e3 / K
+        t_2d_bf16 = sb['ring1_bf16']['per_bank_ms'] / 1e3 / K
+    except (FileNotFoundError, KeyError):
+        t_sh_bf16 = t_bf16_plain * sharded_ratio
+        t_2d_bf16 = t_2d * t_bf16_plain / (
+            sh['plain_auto']['per_bank_ms'] / 1e3 / K)
 
     # halo volume: calibrated degree-formula (see scaling_model.py)
     path = os.path.join(REPO, '.bench_cache', 'bafast_1048576_8.npz')
@@ -127,13 +139,16 @@ def main():
         pr = 1 << int(np.ceil(np.log2(n) / 2))
         return pr, n // pr
 
-    def eff_2d(n, t_step, bytes_per_val, ring_eff, w_link=W_LINK):
+    def eff_2d(n, t_step, bytes_per_val, ring_eff, w_link=W_LINK,
+               scatter_bytes=4):
         """Ring body: (pr-1) row shifts each issued before the fold that
         can hide it — hideable row-comm budget = ring_eff*(pr-1)/pr of
-        the step's compute; the (pc-1)/pc psum_scatter is exposed."""
+        the step's compute; the (pc-1)/pc psum_scatter is exposed
+        (``scatter_bytes=2`` models the opt-in bf16 scatter payload,
+        ``cheby_op_2d(scatter_dtype=bf16)``)."""
         pr, pc = mesh_2d(n)
         t_row = (pr - 1) * N_local * S_SIGNALS * bytes_per_val / w_link
-        t_col = (pc - 1) * N_local * S_SIGNALS * 4 / w_link   # f32 partials
+        t_col = (pc - 1) * N_local * S_SIGNALS * scatter_bytes / w_link
         hide = ring_eff * (pr - 1) / max(pr, 1) * t_step
         exposed = max(0.0, t_row - hide) + t_col
         return t_step / (t_step + exposed), t_row + t_col
@@ -203,14 +218,15 @@ def main():
             eff_1d(n, t_sh_bf16, 2, hops_ring, 0.45, W_LINK * 0.5)[0], 3)
         row['eff_bf16_sharded_ring_ov0.45_Wx2'] = round(
             eff_1d(n, t_sh_bf16, 2, hops_ring, 0.45, W_LINK * 2)[0], 3)
-        # 2-D ring path (measured per-chip step, structural overlap)
+        # 2-D ring path (measured per-chip steps, structural overlap)
         for label, b, tstep2 in (('f32', 4, t_2d),
-                                 ('bf16', 2, t_2d * t_bf16_plain
-                                  / (sh['plain_auto']['per_bank_ms']
-                                     / 1e3 / K))):
+                                 ('bf16', 2, t_2d_bf16)):
             for re_ in (0.5, 0.75, 1.0):
                 eff, _ = eff_2d(n, tstep2, b, re_)
                 row[f'eff_2d_{label}_re{re_}'] = round(eff, 3)
+            if label == 'bf16':
+                row['eff_2d_bf16_re0.75_sc16'] = round(
+                    eff_2d(n, tstep2, b, 0.75, scatter_bytes=2)[0], 3)
         out['predictions'].append(row)
 
     # headline claims, each tied to its configuration (data-driven)
@@ -240,11 +256,15 @@ def main():
             f"{p[64]['eff_2d_bf16_re0.75']} vs "
             f"{p[64]['eff_bf16_sharded_ring_ov0.45']}). Its exposed cost "
             f"is now ONLY the psum_scatter along 'col' (the row shifts "
-            f"hide even at ring_eff=0.5) — interleaving that "
-            f"reduce-scatter with the folds is the next lever and would "
-            f"lift 16-chip bf16 from "
-            f"{p[16]['eff_2d_bf16_re0.75']} toward "
-            f"{p[16]['eff_2d_f32_re0.75']}+"),
+            f"hide even at ring_eff=0.5). The opt-in bf16 scatter "
+            f"payload (cheby_op_2d(scatter_dtype=bf16), "
+            f"test_2d_scatter_dtype) halves that: 16-chip bf16 "
+            f"{p[16]['eff_2d_bf16_re0.75']} -> "
+            f"{p[16]['eff_2d_bf16_re0.75_sc16']}, 64-chip "
+            f"{p[64]['eff_2d_bf16_re0.75']} -> "
+            f"{p[64]['eff_2d_bf16_re0.75_sc16']}; interleaving the "
+            f"reduce-scatter with the folds remains the lever beyond "
+            f"that"),
     }
 
     with open(os.path.join(REPO, 'SCALING_r4.json'), 'w') as f:

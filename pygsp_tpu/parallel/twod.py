@@ -332,7 +332,7 @@ def matvec_2d(tg: TwoDGraph, x, mesh: Mesh, ell=None):
 
 
 def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh, ell=None,
-                carry_dtype=None, carry_tol=None):
+                carry_dtype=None, carry_tol=None, scatter_dtype=None):
     """Chebyshev filter bank on the 2-D edge partition.
 
     Same math as :func:`pygsp_tpu.ops.chebyshev.cheby_op` (reference
@@ -345,6 +345,16 @@ def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh, ell=None,
     move at half bytes; partial-product accumulation, ``psum_scatter`` and
     the filter accumulators stay in the signal dtype. Gated by the same
     a-priori bound as the single-chip path.
+
+    ``scatter_dtype`` (opt-in, ring layout only): dtype of the
+    ``psum_scatter`` partial-product payload along 'col' — the ring
+    path's ONLY exposed communication (``SCALING_r4.json``: the row
+    shifts hide under the folds). ``jnp.bfloat16`` halves those wire
+    bytes at the cost of ONE extra rounding of each partial product per
+    matvec (the cross-device sum then runs in the reduced dtype); local
+    row-sum accumulation stays f32. Requires an explicit opt-in because
+    it adds to the carry budget; the combined error is measured by
+    ``test_2d_scatter_dtype``.
     """
     c = jnp.atleast_2d(c)
     nf, m1 = c.shape
@@ -355,7 +365,12 @@ def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh, ell=None,
         _check_carry_budget(c, cdt, carry_tol)
 
     if isinstance(ell, tuple):
-        return _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt)
+        sdt = (jnp.dtype(scatter_dtype) if scatter_dtype is not None
+               else None)
+        return _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt, sdt)
+    if scatter_dtype is not None:
+        raise ValueError('scatter_dtype requires the ring layout '
+                         '(twod_local_windowed(ring=True))')
 
     def body(rows, cols, vals, diag, ell, c, lmax, x_local):
         rows, cols, vals, diag = rows[0], cols[0], vals[0], diag[0]
@@ -397,7 +412,7 @@ def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh, ell=None,
     return f(tg.rows, tg.cols, tg.vals, tg.diag, ell, c, lmax, x)
 
 
-def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt):
+def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt, sdt=None):
     """Ring-overlapped, chunk-carried 2-D Chebyshev (the deployed layout).
 
     ``ell`` is :func:`twod_local_windowed(..., ring=True)`'s tuple of
@@ -466,9 +481,16 @@ def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt):
             if pc > 1:
                 yf = y[0] if len(y) == 1 else jnp.concatenate(y)
                 with jax.named_scope('psum_scatter_rowgroup'):
-                    yf = jax.lax.psum_scatter(yf, 'col',
-                                              scatter_dimension=0,
-                                              tiled=True)
+                    if sdt is not None:
+                        # halve the exposed 'col' wire bytes: one extra
+                        # rounding of each partial product per matvec
+                        yf = jax.lax.psum_scatter(
+                            yf.astype(sdt), 'col', scatter_dimension=0,
+                            tiled=True).astype(odt)
+                    else:
+                        yf = jax.lax.psum_scatter(yf, 'col',
+                                                  scatter_dimension=0,
+                                                  tiled=True)
                 return chunk_signal(yf, R)
             return y
 

@@ -75,6 +75,16 @@ class ShardedWindowed:
     def dtype(self):
         return self.vals.dtype
 
+    def astype(self, dtype) -> 'ShardedWindowed':
+        """Cast the stored VALUES (slabs + residue tiers). With bf16 the
+        per-(window) one-hot fold runs a single native MXU pass instead
+        of the f32 HIGHEST emulation — exact for unit/power-of-two
+        weights, an approximation otherwise (pair with ``carry_dtype``
+        under the same measured error budget)."""
+        return dataclasses.replace(
+            self, vals=self.vals.astype(dtype),
+            lvl_vals=tuple(v.astype(dtype) for v in self.lvl_vals))
+
     def local_matrix(self) -> WindowedELLMatrix:
         """THIS shard's slice as a single-chip matrix (inside shard_map,
         where every leaf arrives with a leading block axis of 1)."""

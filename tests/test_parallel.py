@@ -548,6 +548,39 @@ def test_2d_ring_overlapped(problem):
 
 
 @requires_multi
+def test_2d_scatter_dtype(problem):
+    """Opt-in bf16 psum_scatter payload on the ring layout (the path's
+    only exposed comm): error stays within the reduced-precision budget
+    alongside the bf16 carry; refuses the non-ring layout."""
+    from pygsp_tpu.parallel import (cheby_op_2d, make_mesh_2d,
+                                    partition_graph_2d,
+                                    twod_local_windowed)
+    G, x, lap_type = problem
+    if lap_type != 'combinatorial':
+        pytest.skip('one lap_type suffices (compile-heavy)')
+    G.estimate_lmax()
+    lmax = float(G.lmax)
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[5, 20]).evaluate,
+                          lmax, m=12)
+    ref = np.asarray(cheby.cheby_op(G.L, lmax, c, jnp.asarray(x)))
+    tg = partition_graph_2d(G.W, 2, 4, lap_type=lap_type)
+    ell = twod_local_windowed(tg, ring=True, chunk_rows=64)
+    mesh = make_mesh_2d(2, 4)
+    xp = tg.pad_signal(x)
+    perm = np.asarray(tg.perm)
+    out = cheby_op_2d(tg, lmax, c, xp, mesh, ell=ell,
+                      carry_dtype=jnp.bfloat16,
+                      scatter_dtype=jnp.bfloat16)
+    rel = (np.abs(np.asarray(out)[:, perm, :] - ref).max()
+           / np.abs(ref).max())
+    assert rel < 1.5e-2, rel
+    with pytest.raises(ValueError, match='ring layout'):
+        cheby_op_2d(tg, lmax, c, xp, mesh,
+                    ell=twod_local_windowed(tg),
+                    scatter_dtype=jnp.bfloat16)
+
+
+@requires_multi
 def test_2d_windowed_local_spmm(problem):
     """2-D path with the windowed-compact local block format matches the
     COO segment-sum path and the unsharded reference."""
