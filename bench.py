@@ -322,22 +322,24 @@ def main():
         _emit()
         return
     try:
-        L16 = LaplacianOp(offdiag=L.offdiag.astype(jnp.bfloat16),
-                          diag=L.diag, lap_type='combinatorial')
         # free the f32 program state first: its 2 GB output + executable
         # alongside the bf16 run's own temps exhaust the 16 GB chip
-        del out, run, compiled, L, H
+        del out, run, compiled
         gc.collect()
+        # the PUBLIC fast-mode knobs: bf16 carry (half gather/state
+        # bytes) + bf16 values (single-pass MXU fold; exact for this
+        # graph's unit weights) — the in-program cast is negligible
         run16 = jax.jit(lambda L, c, x: cheby.cheby_op(
-            L, lmax, c, x, carry_dtype=jnp.bfloat16))
+            L, lmax, c, x, carry_dtype=jnp.bfloat16,
+            vals_dtype=jnp.bfloat16))
         t0 = time.time()
-        run16c = run16.lower(L16, c, x).compile()
+        run16c = run16.lower(L, c, x).compile()
         compile16_s = time.time() - t0
-        out16 = run16c(L16, c, x)
+        out16 = run16c(L, c, x)
         sync(out16)
         log(f'bf16 compile: {compile16_s:.1f}s')
         t0 = time.time()
-        out16 = run16c(L16, c, x)
+        out16 = run16c(L, c, x)
         sync(out16)
         dt16 = time.time() - t0
         err16 = float(np.abs(np.asarray(out16[0, :, :8]) - cpu_out).max()
@@ -352,8 +354,8 @@ def main():
                 for _ in range(reps):
                     t0 = time.time()
                     for _ in range(n_iter - 1):
-                        run16c(L16, c, x)
-                    out16 = run16c(L16, c, x)
+                        run16c(L, c, x)
+                    out16 = run16c(L, c, x)
                     sync(out16)
                     times16.append((time.time() - t0) / n_iter)
                 dt16 = float(np.median(times16))

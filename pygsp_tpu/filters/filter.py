@@ -86,15 +86,17 @@ class Filter:
         return self.filter(other)
 
     def _cheby_program(self, mode: str, order: int, carry_dtype=None,
-                       carry_tol=None):
+                       carry_tol=None, vals_dtype=None):
         """Cached jit of quadrature + recurrence (kernels and lmax are
         trace-time constants; cache is keyed on lmax so refinements after
         ``compute_fourier_basis`` retrace). ``carry_dtype`` requests the
         reduced-precision carry (gated by its a-priori error bound HERE,
         at program-build time — inside the jit the coefficients are
-        traced)."""
+        traced); ``vals_dtype`` casts the slab values inside the program
+        (see :func:`pygsp_tpu.ops.chebyshev._cast_vals`)."""
         cdt = None if carry_dtype is None else jnp.dtype(carry_dtype).name
-        key = (mode, order, float(self.G.lmax), cdt, carry_tol)
+        vdt = None if vals_dtype is None else jnp.dtype(vals_dtype).name
+        key = (mode, order, float(self.G.lmax), cdt, carry_tol, vdt)
         fn = self._jit_cache.get(key)
         if fn is None:
             lmax = float(self.G.lmax)
@@ -109,14 +111,16 @@ class Filter:
                     c = cheby.cheby_coeff(self.evaluate, lmax, m=order,
                                           dtype=s.dtype)
                     r = cheby.cheby_op(L, lmax, c, s,
-                                       carry_dtype=carry_dtype)
+                                       carry_dtype=carry_dtype,
+                                       vals_dtype=vals_dtype)
                     return jnp.moveaxis(r, 0, -1)          # (N, S, Nf)
             else:
                 def run(L, s):
                     c = cheby.cheby_coeff(self.evaluate, lmax, m=order,
                                           dtype=s.dtype)
                     return cheby.cheby_synthesis(L, lmax, c, s,
-                                                 carry_dtype=carry_dtype)
+                                                 carry_dtype=carry_dtype,
+                                                 vals_dtype=vals_dtype)
 
             fn = jax.jit(run)
             self._jit_cache[key] = fn
@@ -132,7 +136,7 @@ class Filter:
     # -- filtering --------------------------------------------------------
 
     def filter(self, s, method: str = 'chebyshev', order: int = 30,
-               carry_dtype=None, carry_tol=None):
+               carry_dtype=None, carry_tol=None, vals_dtype=None):
         """Analysis (1 → Nf features) or synthesis (Nf → 1).
 
         Same rank-3 convention and dispatch as the reference
@@ -146,6 +150,13 @@ class Filter:
         ``benchmarks/bf16_error_curves.py``). Refused with a ValueError
         when the bank's coefficient decay cannot absorb the rounding
         (override with ``carry_tol``).
+
+        ``vals_dtype``: opt-in cast of the stored edge VALUES — pair
+        ``jnp.bfloat16`` with ``carry_dtype=jnp.bfloat16`` so the
+        one-hot fold runs a single native MXU pass instead of the f32
+        emulation (the full fast mode: 91.4% of the f32 read roofline
+        on the bench graph vs 73% exact). Exact for unit/power-of-two
+        weights; otherwise one extra rounding per edge weight.
         """
         s = jnp.asarray(self.G._check_signal(np.asanyarray(s) if not
                                              isinstance(s, jax.Array) else s))
@@ -177,10 +188,12 @@ class Filter:
             self.G._hint_fast_laplacian()
             if n_features_in == 1:   # analysis
                 out = self._cheby_program('analysis', order, carry_dtype,
-                                          carry_tol)(self.G.L, s[..., 0])
+                                          carry_tol,
+                                          vals_dtype)(self.G.L, s[..., 0])
             else:                    # synthesis
                 out = self._cheby_program('synthesis', order, carry_dtype,
-                                          carry_tol)(self.G.L, s)
+                                          carry_tol, vals_dtype)(self.G.L,
+                                                                 s)
                 out = jnp.expand_dims(out, -1)
 
         elif method == 'lanczos':

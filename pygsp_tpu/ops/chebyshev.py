@@ -99,8 +99,31 @@ def _check_carry_budget(c, carry_dtype, carry_tol):
             f'drop carry_dtype for the exact path.')
 
 
+def _cast_vals(L, vals_dtype):
+    """Opt-in reduced-precision slab VALUES (chunked/windowed formats).
+
+    The one-hot fold's product dtype is ``promote(carry, vals)`` — with
+    f32 values a bf16 carry still folds through the 6-pass f32 HIGHEST
+    emulation and gains nothing (measured: 2384 vs 1899 ms/bank,
+    ``SHARDED_BF16_r4.json``); bf16 values make it one native MXU pass.
+    Costs one rounding of each edge weight: EXACT for unit/power-of-two
+    weights (the common Laplacian case after normalization), otherwise
+    bounded like one extra carry rounding. The diagonal stays f32.
+    """
+    if vals_dtype is None:
+        return L
+    from pygsp_tpu.core.chunked import ChunkedELLMatrix
+    from pygsp_tpu.core.windowed import WindowedELLMatrix
+    if not isinstance(L.offdiag, (ChunkedELLMatrix, WindowedELLMatrix)):
+        raise ValueError('vals_dtype is only supported on chunked/'
+                         'windowed operator formats (the hot path)')
+    return LaplacianOp(offdiag=L.offdiag.astype(vals_dtype),
+                       diag=L.diag, lap_type=L.lap_type)
+
+
 def cheby_op(L: LaplacianOp, lmax, c, x: jax.Array,
-             carry_dtype=None, carry_tol: float | None = None) -> jax.Array:
+             carry_dtype=None, carry_tol: float | None = None,
+             vals_dtype=None) -> jax.Array:
     """Apply a Chebyshev-approximated filter bank: ``(Nf, m+1), (N, ...) -> (Nf, N, ...)``.
 
     Exact arithmetic of ``cheby_op`` (``approximations.py:58-114``): shifted
@@ -137,6 +160,7 @@ def cheby_op(L: LaplacianOp, lmax, c, x: jax.Array,
     # throughout — the first SpMM would otherwise widen t_cur but not
     # t_old, and whether that broke the carry contract depended on the
     # accumulator-group remainder (g-dependent TypeError)
+    L = _cast_vals(L, vals_dtype)
     pdt = jnp.promote_types(x.dtype, L.offdiag.dtype)
     if carry_dtype is None and x.dtype != pdt:
         x = x.astype(pdt)
@@ -539,7 +563,8 @@ def jackson_cheby_coeff(filter_bounds, delta_lambda, m: int):
 
 def cheby_synthesis(L: LaplacianOp, lmax, c, x: jax.Array,
                     carry_dtype=None,
-                    carry_tol: float | None = None) -> jax.Array:
+                    carry_tol: float | None = None,
+                    vals_dtype=None) -> jax.Array:
     """Synthesis: per-filter coefficients applied to per-filter signals, summed.
 
     ``c``: (Nf, m+1); ``x``: (N, ..., Nf) — feature axis last. Returns
@@ -564,6 +589,7 @@ def cheby_synthesis(L: LaplacianOp, lmax, c, x: jax.Array,
                              'windowed operator formats (the hot path)')
         if not isinstance(c, jax.core.Tracer):
             _check_carry_budget(c, carry_dtype, carry_tol)
+    L = _cast_vals(L, vals_dtype)
     pdt = jnp.promote_types(x.dtype, L.offdiag.dtype)
     if carry_dtype is None and x.dtype != pdt:
         x = x.astype(pdt)     # one-dtype scan carry (see cheby_op)

@@ -121,6 +121,45 @@ def test_windowed_cheby_matches_plain(lap_type):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
 
 
+def test_vals_dtype_fast_mode(rng):
+    """``vals_dtype=bf16`` (the full fast mode when paired with the bf16
+    carry): exact for unit weights, within the measured reduced-precision
+    budget for general weights, refused on non-chunked formats."""
+    import pygsp_tpu as gsp
+
+    # unit weights: the bf16 value cast is EXACT (representable), so the
+    # only error is the carry's — same budget as carry-alone
+    G = gsp.graphs.BarabasiAlbert(500, m0=4, m=4, seed=7)
+    G.estimate_lmax()
+    G.compute_laplacian('combinatorial', fmt='windowed')
+    g_ = gsp.filters.Heat(G, scale=[5.0, 20.0])
+    s = rng.normal(size=(G.N,)).astype(np.float32)
+    ref = np.asarray(g_.filter(s, order=20))
+    out = np.asarray(g_.filter(s, order=20, carry_dtype=jnp.bfloat16,
+                               vals_dtype=jnp.bfloat16))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1.5e-2
+
+    # weighted graph: value rounding adds ~one more bf16 rounding
+    G2 = gsp.graphs.Sensor(400, seed=3)
+    G2.estimate_lmax()
+    G2.compute_laplacian('combinatorial', fmt='windowed')
+    g2 = gsp.filters.Heat(G2, scale=[5.0, 20.0])
+    s2 = rng.normal(size=(G2.N,)).astype(np.float32)
+    ref2 = np.asarray(g2.filter(s2, order=20))
+    out2 = np.asarray(g2.filter(s2, order=20, carry_dtype=jnp.bfloat16,
+                                vals_dtype=jnp.bfloat16))
+    assert np.abs(out2 - ref2).max() / np.abs(ref2).max() < 2e-2
+
+    # non-chunked format refuses
+    from pygsp_tpu.core.operators import laplacian_op
+    from pygsp_tpu.core import sparse as spmod
+    L = laplacian_op(spmod.from_scipy(G2.W.tocsr()), 'combinatorial')
+    with pytest.raises(ValueError, match='vals_dtype'):
+        cheby.cheby_op(L, float(G2.lmax),
+                       jnp.ones((1, 5)), jnp.asarray(s2),
+                       vals_dtype=jnp.bfloat16)
+
+
 @pytest.mark.parametrize('g', [3, 5])
 def test_acc_group_parity(g, monkeypatch):
     """Grouped accumulator fold (g recurrence steps per scan body) is
