@@ -139,6 +139,22 @@ def main():
         pr = 1 << int(np.ceil(np.log2(n) / 2))
         return pr, n // pr
 
+    def eff_2d_int(n, t_step, bytes_per_val, ring_eff, w_link=W_LINK,
+                   scatter_bytes=4):
+        """Fully interleaved schedule (twod_local_windowed split_cols):
+        the row shifts hide under the s=0 sub-folds (budget t_step/pc),
+        the pc-1 col hops hide under the s=1..pc-1 position folds
+        (budget (pc-1)/pc * t_step). Hop payloads: source rows at
+        ``bytes_per_val`` on the row ring, partial products at
+        ``scatter_bytes`` on the col ring."""
+        pr, pc = mesh_2d(n)
+        t_row = (pr - 1) * N_local * S_SIGNALS * bytes_per_val / w_link
+        t_col = (pc - 1) * N_local * S_SIGNALS * scatter_bytes / w_link
+        exp_row = max(0.0, t_row - ring_eff * t_step / pc)
+        exp_col = max(0.0, t_col - ring_eff * (pc - 1) / max(pc, 1)
+                      * t_step)
+        return t_step / (t_step + exp_row + exp_col), t_row + t_col
+
     def eff_2d(n, t_step, bytes_per_val, ring_eff, w_link=W_LINK,
                scatter_bytes=4):
         """Ring body: (pr-1) row shifts each issued before the fold that
@@ -227,6 +243,12 @@ def main():
             if label == 'bf16':
                 row['eff_2d_bf16_re0.75_sc16'] = round(
                     eff_2d(n, tstep2, b, 0.75, scatter_bytes=2)[0], 3)
+                for re_ in (0.5, 0.75):
+                    row[f'eff_2dint_bf16_re{re_}'] = round(
+                        eff_2d_int(n, tstep2, b, re_)[0], 3)
+                    row[f'eff_2dint_bf16_re{re_}_sc16'] = round(
+                        eff_2d_int(n, tstep2, b, re_,
+                                   scatter_bytes=2)[0], 3)
         out['predictions'].append(row)
 
     # headline claims, each tied to its configuration (data-driven)
@@ -254,17 +276,20 @@ def main():
             f"16 up ({p[16]['eff_2d_bf16_re0.75']} vs "
             f"{p[16]['eff_bf16_sharded_ring_ov0.45']}; 64 chips: "
             f"{p[64]['eff_2d_bf16_re0.75']} vs "
-            f"{p[64]['eff_bf16_sharded_ring_ov0.45']}). Its exposed cost "
-            f"is now ONLY the psum_scatter along 'col' (the row shifts "
-            f"hide even at ring_eff=0.5). The opt-in bf16 scatter "
-            f"payload (cheby_op_2d(scatter_dtype=bf16), "
-            f"test_2d_scatter_dtype) halves that: 16-chip bf16 "
+            f"{p[64]['eff_bf16_sharded_ring_ov0.45']})."),
+        'interleaved_claim': (
+            f"The FULLY INTERLEAVED schedule (split_cols=True — row "
+            f"all-gather and col reduce-scatter both ring-overlapped, "
+            f"test_2d_interleaved, dryrun-gated) removes the remaining "
+            f"exposed psum_scatter: 16-chip bf16 "
             f"{p[16]['eff_2d_bf16_re0.75']} -> "
-            f"{p[16]['eff_2d_bf16_re0.75_sc16']}, 64-chip "
+            f"{p[16]['eff_2dint_bf16_re0.75']}, 64-chip "
             f"{p[64]['eff_2d_bf16_re0.75']} -> "
-            f"{p[64]['eff_2d_bf16_re0.75_sc16']}; interleaving the "
-            f"reduce-scatter with the folds remains the lever beyond "
-            f"that"),
+            f"{p[64]['eff_2dint_bf16_re0.75']} "
+            f"(with the bf16 hop payload: "
+            f"{p[64]['eff_2dint_bf16_re0.75_sc16']}). At large pr the "
+            f"binding term becomes the row shifts' smaller hiding "
+            f"budget (only the s=0 sub-folds run during phase A)."),
     }
 
     with open(os.path.join(REPO, 'SCALING_r4.json'), 'w') as f:

@@ -223,7 +223,7 @@ def partition_graph_2d(W, pr: int, pc: int,
 
 def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
                         chunk_rows=None, slab_width=None, hub_degree=None,
-                        ring: bool = False):
+                        ring: bool = False, split_cols: bool = False):
     """Windowed-compact layout of every device's edge block (the
     single-chip hot-path format, :mod:`pygsp_tpu.core.windowed`) for the
     local SpMM inside :func:`cheby_op_2d` — scatter-free slab gathers +
@@ -240,6 +240,17 @@ def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
     already issued (comm overlaps compute; see :func:`cheby_op_2d`). All
     ``pr`` matrices share one ``chunk_rows`` so the chunk-carried
     recurrence's buffers feed every step directly.
+
+    ``ring=True, split_cols=True`` (fully interleaved): a nested tuple
+    ``mats[k][s]`` — step-``k`` matrix further split by OUTPUT block in
+    each device's COL-RING SCHEDULE order: position ``s``'s block is the
+    one destined for device ``(i, (j − 1 − s) mod pc)``, rows rebased to
+    ``[0, n_local)``. :func:`cheby_op_2d` then replaces the terminal
+    ``psum_scatter`` with a ring reduce-scatter whose hop ``s`` runs
+    UNDER the fold of schedule position ``s+1`` — no exposed
+    communication left on either mesh axis (the 2-D scaling model's last
+    lever). Per-device static schedules make every fold a static
+    sub-matrix despite the device-dependent destination order.
     """
     from pygsp_tpu.core.windowed import WINDOW_ROWS
     from pygsp_tpu.parallel.windowed_shards import _build
@@ -264,17 +275,38 @@ def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
         chunk_rows = auto_chunk_rows(
             nnz_est // max(tg.n_devices * tg.pr, 1), n_row_ext,
             tg.n_local, P_)
+    if not split_cols:
+        mats = []
+        for k in range(tg.pr):
+            parts = []
+            for d_ in range(tg.n_devices):
+                i = d_ // tg.pc
+                real = rows[d_] < n_row_ext
+                r, c_, v = rows[d_][real], cols[d_][real], vals[d_][real]
+                sel = (i - c_ // tg.n_local) % tg.pr == k
+                parts.append((r[sel], c_[sel] % tg.n_local, v[sel]))
+            mats.append(_build(n_row_ext, vals.dtype, parts, tg.n_local,
+                               P_, chunk_rows, slab_width, hub_degree))
+        return tuple(mats)
+
     mats = []
     for k in range(tg.pr):
-        parts = []
-        for d_ in range(tg.n_devices):
-            i = d_ // tg.pc
-            real = rows[d_] < n_row_ext
-            r, c_, v = rows[d_][real], cols[d_][real], vals[d_][real]
-            sel = (i - c_ // tg.n_local) % tg.pr == k
-            parts.append((r[sel], c_[sel] % tg.n_local, v[sel]))
-        mats.append(_build(n_row_ext, vals.dtype, parts, tg.n_local,
-                           P_, chunk_rows, slab_width, hub_degree))
+        row_k = []
+        for s in range(tg.pc):
+            parts = []
+            for d_ in range(tg.n_devices):
+                i, j = d_ // tg.pc, d_ % tg.pc
+                dest = (j - 1 - s) % tg.pc
+                real = rows[d_] < n_row_ext
+                r, c_, v = rows[d_][real], cols[d_][real], vals[d_][real]
+                sel = (((i - c_ // tg.n_local) % tg.pr == k)
+                       & (r // tg.n_local == dest))
+                parts.append((r[sel] - dest * tg.n_local,
+                              c_[sel] % tg.n_local, v[sel]))
+            row_k.append(_build(tg.n_local, vals.dtype, parts,
+                                tg.n_local, P_, chunk_rows, slab_width,
+                                hub_degree))
+        mats.append(tuple(row_k))
     return tuple(mats)
 
 
@@ -431,7 +463,8 @@ def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt, sdt=None):
                                             _sharded_acc_group)
     nf, m1 = c.shape
     pr, pc, n_local = tg.pr, tg.pc, tg.n_local
-    R = ell[0].chunk_rows
+    interleave = isinstance(ell[0], tuple)
+    R = (ell[0][0] if interleave else ell[0]).chunk_rows
     g_acc = _sharded_acc_group(x, nf, ell, cdt, tg.n_devices)
 
     def body(diag, ell_sl, c, lmax, x_local):
@@ -443,7 +476,11 @@ def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt, sdt=None):
         a2 = lmax / 2
         sc = 2.0 / a1
         bshape = (nf,) + (1,) * x_local.ndim
-        mats = tuple(e.local_matrix() for e in ell_sl)
+        if interleave:
+            mats = tuple(tuple(e.local_matrix() for e in row)
+                         for row in ell_sl)
+        else:
+            mats = tuple(e.local_matrix() for e in ell_sl)
         dsh = (-1,) + (1,) * (x_local.ndim - 1)
         diag_c = chunk_signal(diag.reshape(dsh), R)
         fdiag_c = chunk_signal(((diag - a2) * sc).reshape(dsh), R)
@@ -459,8 +496,57 @@ def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt, sdt=None):
             spmm_kw = {'out_dtype': odt}
 
         rperm = [(r, (r + 1) % pr) for r in range(pr)]
+        cperm = [(q, (q + 1) % pc) for q in range(pc)]
+
+        def offdiag_interleaved(t_chunks):
+            """Row all-gather AND col reduce-scatter both ring-overlapped.
+
+            Phase A: collect the pr source blocks over the row ring,
+            folding schedule position s=0 (the first partial to send)
+            under the shifts. Phase B: ring reduce-scatter along 'col' —
+            hop s carries the partial for destination
+            ``(j − 1 − s) mod pc`` while the fold of position s+1 (pr
+            sub-folds over the buffered sources) runs beneath it; each
+            device's mats[k][s] was built in ITS schedule order, so
+            every fold is a static sub-matrix. After pc−1 hops the
+            running partial holds the complete sum for the device's own
+            block. No exposed comm remains on either axis.
+            """
+            buf = t_chunks
+            srcs = []
+            r = None
+            for k in range(pr):
+                if k < pr - 1:
+                    with jax.named_scope('ring_shift'):
+                        nxt = tuple(jax.lax.ppermute(b, 'row', rperm)
+                                    for b in buf)
+                else:
+                    nxt = None
+                srcs.append(buf)
+                with jax.named_scope('ring_fold_s0'):
+                    yk = windowed_spmm_chunks(mats[k][0], buf, **spmm_kw)
+                r = yk if r is None else tuple(a + b
+                                               for a, b in zip(r, yk))
+                buf = nxt
+            for s in range(1, pc):
+                with jax.named_scope('col_ring_hop'):
+                    send = (r if sdt is None
+                            else tuple(a.astype(sdt) for a in r))
+                    recv = tuple(jax.lax.ppermute(a, 'col', cperm)
+                                 for a in send)
+                r = None
+                with jax.named_scope(f'ring_fold_s{s}'):
+                    for k in range(pr):
+                        yk = windowed_spmm_chunks(mats[k][s], srcs[k],
+                                                  **spmm_kw)
+                        r = yk if r is None else tuple(
+                            a + b for a, b in zip(r, yk))
+                r = tuple(a + b.astype(odt) for a, b in zip(r, recv))
+            return r
 
         def offdiag_apply(t_chunks):
+            if interleave:
+                return offdiag_interleaved(t_chunks)
             buf = t_chunks
             y = None
             for k in range(pr):

@@ -548,6 +548,50 @@ def test_2d_ring_overlapped(problem):
 
 
 @requires_multi
+def test_2d_interleaved(problem):
+    """Fully interleaved 2-D path (split_cols=True): row all-gather AND
+    col reduce-scatter both ring-overlapped, per-device static fold
+    schedules == unsharded reference; bf16 carry + bf16 hop payload
+    within budget; grads through both ring chains."""
+    from pygsp_tpu.parallel import (cheby_op_2d, make_mesh_2d,
+                                    partition_graph_2d,
+                                    twod_local_windowed)
+    G, x, lap_type = problem
+    G.estimate_lmax()
+    lmax = float(G.lmax)
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[5, 20]).evaluate,
+                          lmax, m=12)
+    ref = np.asarray(cheby.cheby_op(G.L, lmax, c, jnp.asarray(x)))
+
+    for pr, pc in ((2, 4), (2, 2)):
+        tg = partition_graph_2d(G.W, pr, pc, lap_type=lap_type)
+        ell = twod_local_windowed(tg, ring=True, split_cols=True,
+                                  chunk_rows=64)
+        assert isinstance(ell[0], tuple) and len(ell[0]) == pc
+        mesh = make_mesh_2d(pr, pc)
+        xp = tg.pad_signal(x)
+        perm = np.asarray(tg.perm)
+        out = cheby_op_2d(tg, lmax, c, xp, mesh, ell=ell)
+        assert np.allclose(np.asarray(out)[:, perm, :], ref, atol=1e-9)
+
+    out16 = cheby_op_2d(tg, lmax, c, xp, mesh, ell=ell,
+                        carry_dtype=jnp.bfloat16,
+                        scatter_dtype=jnp.bfloat16)
+    rel = (np.abs(np.asarray(out16)[:, perm, :] - ref).max()
+           / np.abs(ref).max())
+    assert rel < 1.5e-2, rel
+
+    def loss(scale):
+        cs = cheby.cheby_coeff(
+            lambda lam: jnp.exp(-scale * lam / lmax)[None], lmax, m=8)
+        return jnp.sum(cheby_op_2d(tg, lmax, cs, xp, mesh, ell=ell) ** 2)
+
+    g1 = jax.grad(loss)(5.0)
+    fd = (loss(5.0 + 1e-4) - loss(5.0 - 1e-4)) / 2e-4
+    assert np.isclose(float(g1), float(fd), rtol=1e-4)
+
+
+@requires_multi
 def test_2d_scatter_dtype(problem):
     """Opt-in bf16 psum_scatter payload on the ring layout (the path's
     only exposed comm): error stays within the reduced-precision budget
