@@ -130,9 +130,26 @@ def main():
         return alpha * cluster_factor * (n - 1) * N_local * float(
             np.mean(1.0 - (1.0 - 1.0 / n) ** deg))
 
+    # Weak-scale LAYOUT inflation (WEAKPAD_r4.json): the one-device
+    # engine measurements pack at the single-chip 1.165 slot padding;
+    # real per-chip blocks fragment — 1-D halo layout ~2.5x more slots
+    # per edge, 2-D blocks ~1.3x. Efficiency below is WORK-NORMALIZED:
+    # eff = t_ideal / (t_ideal*inflation + exposed_comm), with hiding
+    # budgets scaling with the inflated (actual) compute time.
+    try:
+        with open(os.path.join(REPO, 'WEAKPAD_r4.json')) as f:
+            wp = {(r['layout'], r['n_chips']): r
+                  for r in json.load(f)['rows']}
+        INFL_1D = wp[('1d_split', 8)]['inflation_vs_single_chip']
+        INFL_2D = wp[('2d_ring', 4)]['inflation_vs_single_chip']
+        INFL_2DINT = wp[('2d_interleaved', 4)]['inflation_vs_single_chip']
+    except (FileNotFoundError, KeyError):
+        INFL_1D, INFL_2D, INFL_2DINT = 2.505, 1.307, 1.343
+
     def eff_1d(n, t_step, bytes_per_val, hops, overlap, w_link=W_LINK):
         t_comm = h_per_chip(n) * S_SIGNALS * bytes_per_val * hops / w_link
-        return (t_step / (t_step + max(0.0, t_comm - overlap * t_step)),
+        t_infl = t_step * (INFL_1D if n > 1 else 1.0)
+        return (t_step / (t_infl + max(0.0, t_comm - overlap * t_infl)),
                 t_comm)
 
     def mesh_2d(n):
@@ -148,12 +165,13 @@ def main():
         ``bytes_per_val`` on the row ring, partial products at
         ``scatter_bytes`` on the col ring."""
         pr, pc = mesh_2d(n)
+        t_infl = t_step * (INFL_2DINT if n > 1 else 1.0)
         t_row = (pr - 1) * N_local * S_SIGNALS * bytes_per_val / w_link
         t_col = (pc - 1) * N_local * S_SIGNALS * scatter_bytes / w_link
-        exp_row = max(0.0, t_row - ring_eff * t_step / pc)
+        exp_row = max(0.0, t_row - ring_eff * t_infl / pc)
         exp_col = max(0.0, t_col - ring_eff * (pc - 1) / max(pc, 1)
-                      * t_step)
-        return t_step / (t_step + exp_row + exp_col), t_row + t_col
+                      * t_infl)
+        return t_step / (t_infl + exp_row + exp_col), t_row + t_col
 
     def eff_2d(n, t_step, bytes_per_val, ring_eff, w_link=W_LINK,
                scatter_bytes=4):
@@ -163,11 +181,12 @@ def main():
         (``scatter_bytes=2`` models the opt-in bf16 scatter payload,
         ``cheby_op_2d(scatter_dtype=bf16)``)."""
         pr, pc = mesh_2d(n)
+        t_infl = t_step * (INFL_2D if n > 1 else 1.0)
         t_row = (pr - 1) * N_local * S_SIGNALS * bytes_per_val / w_link
         t_col = (pc - 1) * N_local * S_SIGNALS * scatter_bytes / w_link
-        hide = ring_eff * (pr - 1) / max(pr, 1) * t_step
+        hide = ring_eff * (pr - 1) / max(pr, 1) * t_infl
         exposed = max(0.0, t_row - hide) + t_col
-        return t_step / (t_step + exposed), t_row + t_col
+        return t_step / (t_infl + exposed), t_row + t_col
 
     ns = [2, 4, 8, 16, 64]
     modes = {
@@ -207,6 +226,14 @@ def main():
                              'issues shift k+1 before fold k; swept '
                              'because it is not yet a multi-chip '
                              'measurement',
+            'layout_inflation': {
+                '1d': INFL_1D, '2d_ring': INFL_2D,
+                '2d_interleaved': INFL_2DINT,
+                'source': 'WEAKPAD_r4.json — weak-scale slot padding '
+                          'vs the single-chip 1.165 (the engines were '
+                          'measured at 1 device where blocks do not '
+                          'fragment); efficiencies are work-normalized '
+                          'against the ideal single-chip rate'},
             'W_link_bytes_per_s': W_LINK,
             'W_link_note': 'ASSUMPTION: v5p-class ICI link/direction; '
                            'sensitivity at 0.5x/2x',
@@ -254,42 +281,40 @@ def main():
     # headline claims, each tied to its configuration (data-driven)
     p = {r['n_chips']: r for r in out['predictions']}
     out['conclusion'] = {
+        'honesty_update': (
+            'This revision folds in the WEAK-SCALE LAYOUT INFLATION '
+            '(WEAKPAD_r4.json) that earlier revisions missed: the '
+            'engines were measured at 1 device where the local block '
+            'packs at the single-chip 1.165 padding, but real per-chip '
+            'blocks fragment — 1-D halo layout 2.5x more slots/edge '
+            '(scattered remote columns), 2-D blocks 1.31-1.34x. '
+            'Efficiencies are now work-normalized against the ideal '
+            'single-chip rate, so they are lower and honest.'),
         'deployed_mode_claim': (
-            f"bf16-carry sharded (the configuration users run): "
-            f"eff(8, 1-D ring, ov=0.45) = "
-            f"{p[8]['eff_bf16_sharded_ring_ov0.45']} — >=80% met at 8 "
-            f"chips (and {p[8]['eff_bf16_sharded_ring_ov0.25']} even at "
-            f"ov=0.25); at 16 chips the 1-D halo saturates "
-            f"({p[16]['eff_bf16_sharded_ring_ov0.45']} ring / "
-            f"{p[16]['eff_bf16_sharded_torus2d_ov0.45']} torus) and the "
-            f"2-D ring layout is the deployment choice"),
+            f"bf16 deployed fast mode, work-normalized: 1-D ring at 8 "
+            f"chips {p[8]['eff_bf16_sharded_ring_ov0.45']} (the 2.5x "
+            f"layout inflation dominates, not the wire); 2-D "
+            f"interleaved {p[8]['eff_2dint_bf16_re0.75']} at 8, "
+            f"{p[16]['eff_2dint_bf16_re0.75']} at 16, "
+            f"{p[64]['eff_2dint_bf16_re0.75']} at 64 chips "
+            f"(sc16 hops: {p[64]['eff_2dint_bf16_re0.75_sc16']}). "
+            f"The 2-D layout is the deployment choice at EVERY n >= 2: "
+            f"both its wire volume (graph-independent) and its layout "
+            f"inflation (1.34x vs 2.5x) beat the 1-D halo on "
+            f"expanders."),
         'f32_claim': (
-            f"exact-f32 sharded: eff(8, ring, ov=0.45) = "
-            f"{p[8]['eff_f32_sharded_ring_ov0.45']}; "
-            f"eff(8, 2-D) = {p[8]['eff_2d_f32_re0.75']}"),
-        'crossover_claim': (
-            f"The 2-D crossover MOVED this round: with the layout tax "
-            f"eliminated (TWOD_ONCHIP_r4: 0.984x plain) and the row "
-            f"all-gather hidden under the ring folds, 2-D bf16 already "
-            f"matches 1-D at 8 chips ({p[8]['eff_2d_bf16_re0.75']} vs "
-            f"{p[8]['eff_bf16_sharded_ring_ov0.45']}) and dominates from "
-            f"16 up ({p[16]['eff_2d_bf16_re0.75']} vs "
-            f"{p[16]['eff_bf16_sharded_ring_ov0.45']}; 64 chips: "
-            f"{p[64]['eff_2d_bf16_re0.75']} vs "
-            f"{p[64]['eff_bf16_sharded_ring_ov0.45']})."),
-        'interleaved_claim': (
-            f"The FULLY INTERLEAVED schedule (split_cols=True — row "
-            f"all-gather and col reduce-scatter both ring-overlapped, "
-            f"test_2d_interleaved, dryrun-gated) removes the remaining "
-            f"exposed psum_scatter: 16-chip bf16 "
-            f"{p[16]['eff_2d_bf16_re0.75']} -> "
-            f"{p[16]['eff_2dint_bf16_re0.75']}, 64-chip "
-            f"{p[64]['eff_2d_bf16_re0.75']} -> "
-            f"{p[64]['eff_2dint_bf16_re0.75']} "
-            f"(with the bf16 hop payload: "
-            f"{p[64]['eff_2dint_bf16_re0.75_sc16']}). At large pr the "
-            f"binding term becomes the row shifts' smaller hiding "
-            f"budget (only the s=0 sub-folds run during phase A)."),
+            f"exact-f32: 1-D ring at 8 = "
+            f"{p[8]['eff_f32_sharded_ring_ov0.45']}; 2-D interleaved "
+            f"carries the same 1.34x inflation — eff(16, 2-D ring "
+            f"f32) = {p[16]['eff_2d_f32_re0.75']}"),
+        'binding_constraint': (
+            'With both collectives ring-hidden (the interleaved '
+            'schedule), the binding term at every scale is the '
+            'LAYOUT inflation of fragmented blocks, not communication. '
+            'Round-5 lever: a compact sparse-block format (tier-only / '
+            'row-ELL hybrid for low-reuse columns) to close the 2-D '
+            '1.34x toward 1.0 — each point recovered is a point of '
+            'weak-scaling efficiency at every n.'),
     }
 
     with open(os.path.join(REPO, 'SCALING_r4.json'), 'w') as f:
