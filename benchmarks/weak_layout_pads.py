@@ -111,6 +111,9 @@ def main():
                        'at P=32; 1-D comb8: 2.981 default vs 3.5-4.0 '
                        'with hub overrides) — the fragmentation is '
                        'structural, not a tuning artifact.',
+        'diagnosis': 'see WEAKPAD_r4.json diagnosis field (chunk_rows '
+                     'sweep + slab-floor analysis appended after the '
+                     'first emission)',
         'conclusion': 'At weak scale the 1-D halo layout inflates '
                       'per-chip compute ~2.5x (scattered halo columns), '
                       'the 2-D block layouts ~1.3x. This is a SECOND '
