@@ -3,8 +3,27 @@
 The reference is single-process (SURVEY §2.6); this package is the
 new-first-class scale-out layer: a 1-D vertex/edge partition of the graph
 over a ``jax.sharding.Mesh`` axis, per-Chebyshev-step halo exchange of
-boundary vertex values compiled to distance-bucketed ``ppermute``s over ICI, and the
-signal/feature axis optionally sharded as data parallelism.
+boundary vertex values compiled to distance-bucketed ``ppermute``s over
+ICI, and the signal/feature axis optionally sharded as data parallelism.
+
+Layout choice (measured, round 4):
+
+- **Mesh/community-local graphs** (RCM-banded, sorted SBM): the 1-D
+  partition (:func:`partition_graph` + :func:`shard_local_windowed`,
+  ``split_boundary=True``) — tiny halos, full single-chip rate per chip
+  (``SHARDED_ONCHIP_r4.json``: 0.94x of the single-chip fast path).
+- **Expander / power-law graphs at any n ≥ 2**: the 2-D edge partition
+  with the fully interleaved ring schedule
+  (:func:`partition_graph_2d` +
+  ``twod_local_windowed(ring=True, split_cols=True)`` +
+  :func:`cheby_op_2d`) — per-chip wire is graph-independent
+  ``(pr+pc−2)·N/p`` rows, both collectives ride under the folds, and
+  the block layout fragments ~2x less than the 1-D halo layout
+  (``WEAKPAD_r4.json`` / ``SCALING_r4.json``).
+- Fast mode on either: ``carry_dtype=jnp.bfloat16`` + bf16 layout
+  values (``.astype``) — and ``scatter_dtype`` on the 2-D path
+  (``SHARDED_BF16_r4.json``: 91.4-91.6% of the f32 read roofline at one
+  device).
 """
 
 from pygsp_tpu.parallel.partition import (ShardedGraph, ShardedELL,
