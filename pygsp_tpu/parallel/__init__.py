@@ -37,7 +37,9 @@ from pygsp_tpu.parallel.windowed_shards import (ShardedWindowed,
 from pygsp_tpu.parallel.launch import (global_mesh, initialize,
                                        load_edge_shard, process_shard_range,
                                        put_sharded_graph)
-from pygsp_tpu.parallel.twod import (TwoDGraph, cheby_op_2d, make_mesh_2d,
+from pygsp_tpu.parallel.twod import (TwoDGraph, cheby_op_2d,
+                                     cheby_op_2d_fixed_graph,
+                                     cheby_synthesis_2d, make_mesh_2d,
                                      matvec_2d, partition_graph_2d,
                                      twod_local_windowed)
 
@@ -49,4 +51,5 @@ __all__ = ['ShardedGraph', 'ShardedELL', 'ShardedWindowed',
            'make_mesh', 'initialize', 'global_mesh', 'process_shard_range',
            'load_edge_shard', 'put_sharded_graph',
            'TwoDGraph', 'partition_graph_2d', 'make_mesh_2d', 'matvec_2d',
-           'cheby_op_2d', 'twod_local_windowed']
+           'cheby_op_2d', 'cheby_op_2d_fixed_graph',
+           'cheby_synthesis_2d', 'twod_local_windowed']

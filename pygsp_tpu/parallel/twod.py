@@ -444,7 +444,8 @@ def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh, ell=None,
     return f(tg.rows, tg.cols, tg.vals, tg.diag, ell, c, lmax, x)
 
 
-def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt, sdt=None):
+def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt, sdt=None,
+                      synthesis=False):
     """Ring-overlapped, chunk-carried 2-D Chebyshev (the deployed layout).
 
     ``ell`` is :func:`twod_local_windowed(..., ring=True)`'s tuple of
@@ -468,128 +469,278 @@ def _cheby_op_2d_ring(tg, lmax, c, x, mesh, ell, cdt, sdt=None):
     g_acc = _sharded_acc_group(x, nf, ell, cdt, tg.n_devices)
 
     def body(diag, ell_sl, c, lmax, x_local):
-        from pygsp_tpu.core.chunked import chunk_signal
-        from pygsp_tpu.core.windowed import windowed_spmm_chunks
-        diag = diag[0]
-        odt = x_local.dtype
-        a1 = lmax / 2
-        a2 = lmax / 2
-        sc = 2.0 / a1
+        (xc, diag_c, fdiag_c, offdiag_apply, cast, odt, a1, a2,
+         sc) = _ring_body_setup(tg, ell_sl, interleave, R, diag[0], lmax,
+                                x_local, cdt, sdt)
         bshape = (nf,) + (1,) * x_local.ndim
-        if interleave:
-            mats = tuple(tuple(e.local_matrix() for e in row)
-                         for row in ell_sl)
-        else:
-            mats = tuple(e.local_matrix() for e in ell_sl)
-        dsh = (-1,) + (1,) * (x_local.ndim - 1)
-        diag_c = chunk_signal(diag.reshape(dsh), R)
-        fdiag_c = chunk_signal(((diag - a2) * sc).reshape(dsh), R)
-        xc = chunk_signal(x_local, R)
-
-        if cdt is None:
-            def cast(t):
-                return t
-            spmm_kw = {}
-        else:
-            def cast(t):
-                return tuple(tk.astype(cdt) for tk in t)
-            spmm_kw = {'out_dtype': odt}
-
-        rperm = [(r, (r + 1) % pr) for r in range(pr)]
-        cperm = [(q, (q + 1) % pc) for q in range(pc)]
-
-        def offdiag_interleaved(t_chunks):
-            """Row all-gather AND col reduce-scatter both ring-overlapped.
-
-            Phase A: collect the pr source blocks over the row ring,
-            folding schedule position s=0 (the first partial to send)
-            under the shifts. Phase B: ring reduce-scatter along 'col' —
-            hop s carries the partial for destination
-            ``(j − 1 − s) mod pc`` while the fold of position s+1 (pr
-            sub-folds over the buffered sources) runs beneath it; each
-            device's mats[k][s] was built in ITS schedule order, so
-            every fold is a static sub-matrix. After pc−1 hops the
-            running partial holds the complete sum for the device's own
-            block. No exposed comm remains on either axis.
-            """
-            buf = t_chunks
-            srcs = []
-            r = None
-            for k in range(pr):
-                if k < pr - 1:
-                    with jax.named_scope('ring_shift'):
-                        nxt = tuple(jax.lax.ppermute(b, 'row', rperm)
-                                    for b in buf)
-                else:
-                    nxt = None
-                srcs.append(buf)
-                with jax.named_scope('ring_fold_s0'):
-                    yk = windowed_spmm_chunks(mats[k][0], buf, **spmm_kw)
-                r = yk if r is None else tuple(a + b
-                                               for a, b in zip(r, yk))
-                buf = nxt
-            for s in range(1, pc):
-                with jax.named_scope('col_ring_hop'):
-                    send = (r if sdt is None
-                            else tuple(a.astype(sdt) for a in r))
-                    recv = tuple(jax.lax.ppermute(a, 'col', cperm)
-                                 for a in send)
-                r = None
-                with jax.named_scope(f'ring_fold_s{s}'):
-                    for k in range(pr):
-                        yk = windowed_spmm_chunks(mats[k][s], srcs[k],
-                                                  **spmm_kw)
-                        r = yk if r is None else tuple(
-                            a + b for a, b in zip(r, yk))
-                r = tuple(a + b.astype(odt) for a, b in zip(r, recv))
-            return r
-
-        def offdiag_apply(t_chunks):
-            if interleave:
-                return offdiag_interleaved(t_chunks)
-            buf = t_chunks
-            y = None
-            for k in range(pr):
-                if k < pr - 1:
-                    # issue the next shift BEFORE folding the in-flight
-                    # buffer: the fold does not depend on it, so the
-                    # transfer overlaps the compute
-                    with jax.named_scope('ring_shift'):
-                        nxt = tuple(jax.lax.ppermute(b, 'row', rperm)
-                                    for b in buf)
-                else:
-                    nxt = None
-                with jax.named_scope('ring_fold'):
-                    yk = windowed_spmm_chunks(mats[k], buf, **spmm_kw)
-                y = yk if y is None else tuple(a + b
-                                               for a, b in zip(y, yk))
-                buf = nxt
-            if pc > 1:
-                yf = y[0] if len(y) == 1 else jnp.concatenate(y)
-                with jax.named_scope('psum_scatter_rowgroup'):
-                    if sdt is not None:
-                        # halve the exposed 'col' wire bytes: one extra
-                        # rounding of each partial product per matvec
-                        yf = jax.lax.psum_scatter(
-                            yf.astype(sdt), 'col', scatter_dimension=0,
-                            tiled=True).astype(odt)
-                    else:
-                        yf = jax.lax.psum_scatter(yf, 'col',
-                                                  scatter_dimension=0,
-                                                  tiled=True)
-                return chunk_signal(yf, R)
-            return y
-
         return _chunkcarried_scan(xc, diag_c, fdiag_c, offdiag_apply, c,
                                   a1, a2, sc, cast, odt, bshape,
-                                  acc_group=g_acc)
+                                  acc_group=g_acc, synthesis=synthesis)
 
     gspec = P(('row', 'col'))
-    xspec = P(('row', 'col'), *(None,) * (np.ndim(x) - 1))
-    ospec = P(None, ('row', 'col'), *(None,) * (np.ndim(x) - 1))
+    if synthesis:
+        xspec = P(('row', 'col'), *(None,) * (np.ndim(x) - 1))
+        ospec = P(('row', 'col'), *(None,) * (np.ndim(x) - 2))
+    else:
+        xspec = P(('row', 'col'), *(None,) * (np.ndim(x) - 1))
+        ospec = P(None, ('row', 'col'), *(None,) * (np.ndim(x) - 1))
     ell_spec = jax.tree.map(lambda _: gspec, ell)
     f = jax.shard_map(
         body, mesh=mesh,
         in_specs=(gspec, ell_spec, P(), P(), xspec),
         out_specs=ospec)
     return f(tg.diag, ell, c, lmax, x)
+
+
+def _ring_body_setup(tg, ell_sl, interleave, R, diag, lmax, x_local, cdt,
+                     sdt):
+    """Shared per-device setup of the ring bodies (inside shard_map):
+    chunked signal/diag tuples, the carry cast, and ``offdiag_apply``
+    (double-buffered row all-gather + either the terminal
+    ``psum_scatter`` or the interleaved col ring). Used by the
+    forward/synthesis scan and the fixed-graph backward's
+    coefficient-gradient body."""
+    from pygsp_tpu.core.chunked import chunk_signal
+    from pygsp_tpu.core.windowed import windowed_spmm_chunks
+    pr, pc = tg.pr, tg.pc
+    odt = x_local.dtype
+    a1 = lmax / 2
+    a2 = lmax / 2
+    sc = 2.0 / a1
+    if interleave:
+        mats = tuple(tuple(e.local_matrix() for e in row)
+                     for row in ell_sl)
+    else:
+        mats = tuple(e.local_matrix() for e in ell_sl)
+    dsh = (-1,) + (1,) * (x_local.ndim - 1)
+    diag_c = chunk_signal(diag.reshape(dsh), R)
+    fdiag_c = chunk_signal(((diag - a2) * sc).reshape(dsh), R)
+    xc = chunk_signal(x_local, R)
+
+    if cdt is None:
+        def cast(t):
+            return t
+        spmm_kw = {}
+    else:
+        def cast(t):
+            return tuple(tk.astype(cdt) for tk in t)
+        spmm_kw = {'out_dtype': odt}
+
+    rperm = [(r, (r + 1) % pr) for r in range(pr)]
+    cperm = [(q, (q + 1) % pc) for q in range(pc)]
+
+    def offdiag_interleaved(t_chunks):
+        """Row all-gather AND col reduce-scatter both ring-overlapped.
+
+        Phase A: collect the pr source blocks over the row ring,
+        folding schedule position s=0 (the first partial to send)
+        under the shifts. Phase B: ring reduce-scatter along 'col' —
+        hop s carries the partial for destination
+        ``(j − 1 − s) mod pc`` while the fold of position s+1 (pr
+        sub-folds over the buffered sources) runs beneath it; each
+        device's mats[k][s] was built in ITS schedule order, so
+        every fold is a static sub-matrix. After pc−1 hops the
+        running partial holds the complete sum for the device's own
+        block. No exposed comm remains on either axis.
+        """
+        buf = t_chunks
+        srcs = []
+        r = None
+        for k in range(pr):
+            if k < pr - 1:
+                with jax.named_scope('ring_shift'):
+                    nxt = tuple(jax.lax.ppermute(b, 'row', rperm)
+                                for b in buf)
+            else:
+                nxt = None
+            srcs.append(buf)
+            with jax.named_scope('ring_fold_s0'):
+                yk = windowed_spmm_chunks(mats[k][0], buf, **spmm_kw)
+            r = yk if r is None else tuple(a + b
+                                           for a, b in zip(r, yk))
+            buf = nxt
+        for s in range(1, pc):
+            with jax.named_scope('col_ring_hop'):
+                send = (r if sdt is None
+                        else tuple(a.astype(sdt) for a in r))
+                recv = tuple(jax.lax.ppermute(a, 'col', cperm)
+                             for a in send)
+            r = None
+            with jax.named_scope(f'ring_fold_s{s}'):
+                for k in range(pr):
+                    yk = windowed_spmm_chunks(mats[k][s], srcs[k],
+                                              **spmm_kw)
+                    r = yk if r is None else tuple(
+                        a + b for a, b in zip(r, yk))
+            r = tuple(a + b.astype(odt) for a, b in zip(r, recv))
+        return r
+
+    def offdiag_apply(t_chunks):
+        if interleave:
+            return offdiag_interleaved(t_chunks)
+        buf = t_chunks
+        y = None
+        for k in range(pr):
+            if k < pr - 1:
+                # issue the next shift BEFORE folding the in-flight
+                # buffer: the fold does not depend on it, so the
+                # transfer overlaps the compute
+                with jax.named_scope('ring_shift'):
+                    nxt = tuple(jax.lax.ppermute(b, 'row', rperm)
+                                for b in buf)
+            else:
+                nxt = None
+            with jax.named_scope('ring_fold'):
+                yk = windowed_spmm_chunks(mats[k], buf, **spmm_kw)
+            y = yk if y is None else tuple(a + b
+                                           for a, b in zip(y, yk))
+            buf = nxt
+        if pc > 1:
+            yf = y[0] if len(y) == 1 else jnp.concatenate(y)
+            with jax.named_scope('psum_scatter_rowgroup'):
+                if sdt is not None:
+                    # halve the exposed 'col' wire bytes: one extra
+                    # rounding of each partial product per matvec
+                    yf = jax.lax.psum_scatter(
+                        yf.astype(sdt), 'col', scatter_dimension=0,
+                        tiled=True).astype(odt)
+                else:
+                    yf = jax.lax.psum_scatter(yf, 'col',
+                                              scatter_dimension=0,
+                                              tiled=True)
+            return chunk_signal(yf, R)
+        return y
+
+    return xc, diag_c, fdiag_c, offdiag_apply, cast, odt, a1, a2, sc
+
+
+def cheby_synthesis_2d(tg: TwoDGraph, lmax, c, y, mesh: Mesh, ell=None,
+                       carry_dtype=None, carry_tol=None,
+                       scatter_dtype=None):
+    """Synthesis on the 2-D edge partition: per-filter signals, summed.
+
+    ``c``: (Nf, m+1); ``y``: (P·n_local, ..., Nf) — feature axis LAST,
+    vertex axis sharded over both mesh axes. Returns (P·n_local, ...).
+    Same math as :func:`pygsp_tpu.ops.chebyshev.cheby_synthesis` (the
+    shifted operator is symmetric, so this is also the adjoint of
+    :func:`cheby_op_2d` — the fixed-graph backward uses it). Requires a
+    ring layout (``twod_local_windowed(ring=True[, split_cols=True])``).
+    """
+    c = jnp.atleast_2d(c)
+    nf, m1 = c.shape
+    if y.shape[-1] != nf:
+        raise ValueError(f'last axis of y ({y.shape[-1]}) must equal the '
+                         f'number of filters ({nf})')
+    if not isinstance(ell, tuple):
+        raise ValueError('cheby_synthesis_2d requires a ring layout '
+                         '(twod_local_windowed(ring=True))')
+    lmax = jnp.asarray(lmax, dtype=tg.dtype)
+    cdt = jnp.dtype(carry_dtype) if carry_dtype is not None else None
+    if cdt is not None and not isinstance(c, jax.core.Tracer):
+        from pygsp_tpu.ops.chebyshev import _check_carry_budget
+        _check_carry_budget(c, cdt, carry_tol)
+    sdt = jnp.dtype(scatter_dtype) if scatter_dtype is not None else None
+    return _cheby_op_2d_ring(tg, lmax, c, y, mesh, ell, cdt, sdt,
+                             synthesis=True)
+
+
+def cheby_op_2d_fixed_graph(tg: TwoDGraph, lmax, c, x, mesh: Mesh,
+                            ell=None):
+    """:func:`cheby_op_2d` with a CONSTANT-MEMORY custom VJP.
+
+    2-D counterpart of
+    :func:`pygsp_tpu.parallel.sharded.sharded_cheby_op_fixed_graph`: the
+    bank is linear in ``(c, x)``, so the backward pass is two fresh ring
+    recurrences — an adjoint synthesis for ``x̄`` and a term-contraction
+    pass for ``c̄`` (global ``psum`` over both mesh axes) — instead of
+    storing the 3K per-step scan carries. Gradients flow to ``c`` and
+    ``x`` only. Requires a ring layout.
+    """
+    if not isinstance(ell, tuple):
+        raise ValueError('cheby_op_2d_fixed_graph requires a ring layout '
+                         '(twod_local_windowed(ring=True))')
+    return _cheby_2d_fg(mesh, tg, ell, lmax, c, x)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _cheby_2d_fg(mesh, tg, ell, lmax, c, x):
+    return cheby_op_2d(tg, lmax, c, x, mesh, ell=ell)
+
+
+def _cheby_2d_fg_fwd(mesh, tg, ell, lmax, c, x):
+    return (cheby_op_2d(tg, lmax, c, x, mesh, ell=ell),
+            (tg, ell, lmax, c, x))
+
+
+def _cheby_2d_fg_bwd(mesh, res, g):
+    from pygsp_tpu.ops.chebyshev import _zero_cotangent
+    tg, ell, lmax, c, x = res
+    c_shape = jnp.shape(c)
+    c = jnp.atleast_2d(c)
+    nf, m1 = c.shape
+    lmax_a = jnp.asarray(lmax, dtype=tg.dtype)
+
+    x_bar = cheby_synthesis_2d(tg, lmax_a, c, jnp.moveaxis(g, 0, -1),
+                               mesh, ell=ell)
+
+    # c̄[f,k] = <T̃_k x, ḡ_f>: one ring recurrence on x, each term
+    # contracted against every cotangent bank member + psum over BOTH
+    # mesh axes (the vertex axis is sharded over ('row', 'col'))
+    interleave = isinstance(ell[0], tuple)
+    R = (ell[0][0] if interleave else ell[0]).chunk_rows
+
+    def body(diag, ell_sl, g, lmax, x_local):
+        (xc, diag_c, fdiag_c, offdiag_apply, cast, odt, a1, a2,
+         sc) = _ring_body_setup(tg, ell_sl, interleave, R, diag[0], lmax,
+                                x_local, None, None)
+        del cast
+        gc, off = [], 0
+        for xk in xc:
+            gc.append(g[:, off:off + xk.shape[0]])
+            off += xk.shape[0]
+
+        def dot_all(t_chunks):
+            s_ = 0
+            for gk, tk in zip(gc, t_chunks):
+                axes = tuple(range(tk.ndim))
+                s_ = s_ + jnp.tensordot(
+                    gk, tk, axes=(tuple(a + 1 for a in axes), axes))
+            return jax.lax.psum(jax.lax.psum(s_, 'row'), 'col')
+
+        t_old = xc
+        y0 = offdiag_apply(t_old)
+        t_cur = tuple((d * xk + yk - a2 * xk) / a1
+                      for d, xk, yk in zip(diag_c, xc, y0))
+        s0 = dot_all(t_old)
+        s1 = dot_all(t_cur)
+        if m1 > 2:
+            def step(carry, _):
+                t_old, t_cur = carry
+                yc = offdiag_apply(t_cur)
+                t_new = tuple(fd * tk + sc * yk - to
+                              for fd, tk, yk, to in
+                              zip(fdiag_c, t_cur, yc, t_old))
+                return (t_cur, t_new), dot_all(t_new)
+
+            _, ss = jax.lax.scan(step, (t_old, t_cur), None,
+                                 length=m1 - 2)
+            return jnp.concatenate([(0.5 * s0)[None], s1[None], ss]).T
+        return jnp.stack([0.5 * s0, s1]).T
+
+    gspec = P(('row', 'col'))
+    xspec = P(('row', 'col'), *(None,) * (np.ndim(x) - 1))
+    gbspec = P(None, ('row', 'col'), *(None,) * (np.ndim(x) - 1))
+    ell_spec = jax.tree.map(lambda _: gspec, ell)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(gspec, ell_spec, gbspec, P(), xspec),
+        out_specs=P())
+    c_bar = f(tg.diag, ell, g, lmax_a, x)
+
+    return (jax.tree_util.tree_map(_zero_cotangent, tg),
+            jax.tree_util.tree_map(_zero_cotangent, ell),
+            _zero_cotangent(lmax),
+            c_bar.astype(c.dtype).reshape(c_shape), x_bar)
+
+
+_cheby_2d_fg.defvjp(_cheby_2d_fg_fwd, _cheby_2d_fg_bwd)

@@ -592,6 +592,57 @@ def test_2d_interleaved(problem):
 
 
 @requires_multi
+def test_2d_fixed_graph_vjp(problem):
+    """2-D constant-memory VJP == plain autodiff through cheby_op_2d
+    (both ring and interleaved layouts): backward = adjoint synthesis +
+    term contraction with psum over both mesh axes, no stored scan
+    carries."""
+    from pygsp_tpu.parallel import (cheby_op_2d, cheby_op_2d_fixed_graph,
+                                    cheby_synthesis_2d, make_mesh_2d,
+                                    partition_graph_2d,
+                                    twod_local_windowed)
+    G, x, lap_type = problem
+    if lap_type != 'combinatorial':
+        pytest.skip('one lap_type suffices (compile-heavy)')
+    G.estimate_lmax()
+    lmax = float(G.lmax)
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[2, 10, 40]).evaluate,
+                          lmax, m=10)
+    tg = partition_graph_2d(G.W, 2, 4, lap_type=lap_type)
+    mesh = make_mesh_2d(2, 4)
+    xp = tg.pad_signal(x)
+    rng = np.random.default_rng(9)
+    y = rng.normal(size=(G.N, x.shape[1], 3))
+    yp = tg.pad_signal(y)
+    ref_s = np.asarray(cheby.cheby_synthesis(G.L, lmax, c,
+                                             jnp.asarray(y)))
+    perm = np.asarray(tg.perm)
+    for split in (True,):
+        ell = twod_local_windowed(tg, ring=True, split_cols=split,
+                                  chunk_rows=64)
+        out_s = cheby_synthesis_2d(tg, lmax, c, yp, mesh, ell=ell)
+        assert np.allclose(np.asarray(out_s)[perm], ref_s, atol=1e-9)
+
+        def loss_fg(c_, x_):
+            out = cheby_op_2d_fixed_graph(tg, lmax, c_, x_, mesh,
+                                          ell=ell)
+            return jnp.sum(jnp.sin(out))
+
+        def loss_plain(c_, x_):
+            out = cheby_op_2d(tg, lmax, c_, x_, mesh, ell=ell)
+            return jnp.sum(jnp.sin(out))
+
+        gc1, gx1 = jax.grad(loss_fg, argnums=(0, 1))(c, xp)
+        gc2, gx2 = jax.grad(loss_plain, argnums=(0, 1))(c, xp)
+        np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc2),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   rtol=1e-10, atol=1e-12)
+    with pytest.raises(ValueError, match='ring layout'):
+        cheby_op_2d_fixed_graph(tg, lmax, c, xp, mesh, ell=None)
+
+
+@requires_multi
 def test_2d_scatter_dtype(problem):
     """Opt-in bf16 psum_scatter payload on the ring layout (the path's
     only exposed comm): error stays within the reduced-precision budget
