@@ -233,7 +233,14 @@ def main():
                           'vs the single-chip 1.165 (the engines were '
                           'measured at 1 device where blocks do not '
                           'fragment); efficiencies are work-normalized '
-                          'against the ideal single-chip rate'},
+                          'against the ideal single-chip rate',
+                'limitation': '2-D inflation measured at a pr=2 weak '
+                              'instance; per-step-matrix density falls '
+                              'like deg/pr, so expect it to grow '
+                              'toward ~1.5-1.7 at pr=8 — the large-n '
+                              '2-D rows are optimistic by that margin '
+                              '(same direction as the named round-5 '
+                              'format lever)'},
             'W_link_bytes_per_s': W_LINK,
             'W_link_note': 'ASSUMPTION: v5p-class ICI link/direction; '
                            'sensitivity at 0.5x/2x',
