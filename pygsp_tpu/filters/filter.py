@@ -86,7 +86,8 @@ class Filter:
         return self.filter(other)
 
     def _cheby_program(self, mode: str, order: int, carry_dtype=None,
-                       carry_tol=None, vals_dtype=None):
+                       carry_tol=None, vals_dtype=None,
+                       fixed_graph=False):
         """Cached jit of quadrature + recurrence (kernels and lmax are
         trace-time constants; cache is keyed on lmax so refinements after
         ``compute_fourier_basis`` retrace). ``carry_dtype`` requests the
@@ -96,7 +97,8 @@ class Filter:
         (see :func:`pygsp_tpu.ops.chebyshev._cast_vals`)."""
         cdt = None if carry_dtype is None else jnp.dtype(carry_dtype).name
         vdt = None if vals_dtype is None else jnp.dtype(vals_dtype).name
-        key = (mode, order, float(self.G.lmax), cdt, carry_tol, vdt)
+        key = (mode, order, float(self.G.lmax), cdt, carry_tol, vdt,
+               fixed_graph)
         fn = self._jit_cache.get(key)
         if fn is None:
             lmax = float(self.G.lmax)
@@ -107,13 +109,20 @@ class Filter:
                                     carry_tol)
 
             if mode == 'analysis':
-                def run(L, s):
-                    c = cheby.cheby_coeff(self.evaluate, lmax, m=order,
-                                          dtype=s.dtype)
-                    r = cheby.cheby_op(L, lmax, c, s,
-                                       carry_dtype=carry_dtype,
-                                       vals_dtype=vals_dtype)
-                    return jnp.moveaxis(r, 0, -1)          # (N, S, Nf)
+                if fixed_graph:
+                    def run(L, s):
+                        c = cheby.cheby_coeff(self.evaluate, lmax,
+                                              m=order, dtype=s.dtype)
+                        r = cheby.cheby_op_fixed_graph(L, lmax, c, s)
+                        return jnp.moveaxis(r, 0, -1)      # (N, S, Nf)
+                else:
+                    def run(L, s):
+                        c = cheby.cheby_coeff(self.evaluate, lmax,
+                                              m=order, dtype=s.dtype)
+                        r = cheby.cheby_op(L, lmax, c, s,
+                                           carry_dtype=carry_dtype,
+                                           vals_dtype=vals_dtype)
+                        return jnp.moveaxis(r, 0, -1)      # (N, S, Nf)
             else:
                 def run(L, s):
                     c = cheby.cheby_coeff(self.evaluate, lmax, m=order,
@@ -136,7 +145,8 @@ class Filter:
     # -- filtering --------------------------------------------------------
 
     def filter(self, s, method: str = 'chebyshev', order: int = 30,
-               carry_dtype=None, carry_tol=None, vals_dtype=None):
+               carry_dtype=None, carry_tol=None, vals_dtype=None,
+               fixed_graph: bool = False):
         """Analysis (1 → Nf features) or synthesis (Nf → 1).
 
         Same rank-3 convention and dispatch as the reference
@@ -157,7 +167,20 @@ class Filter:
         emulation (the full fast mode: 91.4% of the f32 read roofline
         on the bench graph vs 73% exact). Exact for unit/power-of-two
         weights; otherwise one extra rounding per edge weight.
+
+        ``fixed_graph`` (analysis direction, chebyshev): route through
+        the CONSTANT-MEMORY custom VJP
+        (:func:`pygsp_tpu.ops.chebyshev.cheby_op_fixed_graph`) — plain
+        reverse-mode through the K-step recurrence stores 3K signal-sized
+        scan carries; this replaces them with two fresh recurrences.
+        Gradients flow to the signal and (through the coefficients) to
+        any filter parameters; the graph gets zero cotangents.
         """
+        if fixed_graph and (carry_dtype is not None
+                            or vals_dtype is not None):
+            raise ValueError('fixed_graph does not combine with '
+                             'carry_dtype/vals_dtype yet — the exact '
+                             'path is the training configuration')
         s = jnp.asarray(self.G._check_signal(np.asanyarray(s) if not
                                              isinstance(s, jax.Array) else s))
         if s.ndim == 1 or s.shape[-1] not in (1, self.Nf):
@@ -187,10 +210,14 @@ class Filter:
         elif method == 'chebyshev':
             self.G._hint_fast_laplacian()
             if n_features_in == 1:   # analysis
-                out = self._cheby_program('analysis', order, carry_dtype,
-                                          carry_tol,
-                                          vals_dtype)(self.G.L, s[..., 0])
+                out = self._cheby_program(
+                    'analysis', order, carry_dtype, carry_tol, vals_dtype,
+                    fixed_graph)(self.G.L, s[..., 0])
             else:                    # synthesis
+                if fixed_graph:
+                    raise ValueError('fixed_graph supports the analysis '
+                                     'direction (1 -> Nf features); '
+                                     'differentiate that side')
                 out = self._cheby_program('synthesis', order, carry_dtype,
                                           carry_tol, vals_dtype)(self.G.L,
                                                                  s)

@@ -121,6 +121,38 @@ def test_windowed_cheby_matches_plain(lap_type):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
 
 
+def test_filter_fixed_graph(rng):
+    """Filter.filter(fixed_graph=True): the constant-memory VJP behind
+    the public Filter API — values and signal-gradients match the plain
+    autodiff path; synthesis direction and dtype combos refuse."""
+    import jax
+    import pygsp_tpu as gsp
+
+    G = gsp.graphs.BarabasiAlbert(400, m0=4, m=4, seed=1)
+    G.estimate_lmax()
+    G.compute_laplacian('combinatorial', fmt='windowed')
+    g_ = gsp.filters.Heat(G, scale=[5.0, 20.0])
+    s = rng.normal(size=(G.N,))
+
+    def loss_plain(sv):
+        return jnp.sum(jnp.sin(g_.filter(sv, order=20)))
+
+    def loss_fg(sv):
+        return jnp.sum(jnp.sin(g_.filter(sv, order=20,
+                                         fixed_graph=True)))
+
+    sv = jnp.asarray(s)
+    assert np.isclose(float(loss_plain(sv)), float(loss_fg(sv)),
+                      rtol=1e-12)
+    g0 = np.asarray(jax.grad(loss_plain)(sv))
+    g1 = np.asarray(jax.grad(loss_fg)(sv))
+    np.testing.assert_allclose(g1, g0, rtol=1e-10, atol=1e-12)
+    with pytest.raises(ValueError, match='analysis direction'):
+        g_.filter(np.zeros((G.N, 1, 2)), fixed_graph=True)
+    with pytest.raises(ValueError, match='carry_dtype'):
+        g_.filter(s, fixed_graph=True, carry_dtype=jnp.bfloat16)
+
+
 def test_vals_dtype_fast_mode(rng):
     """``vals_dtype=bf16`` (the full fast mode when paired with the bf16
     carry): exact for unit weights, within the measured reduced-precision
