@@ -181,6 +181,10 @@ class Filter:
             raise ValueError('fixed_graph does not combine with '
                              'carry_dtype/vals_dtype yet — the exact '
                              'path is the training configuration')
+        if fixed_graph and method != 'chebyshev':
+            raise ValueError('fixed_graph requires method="chebyshev" — '
+                             'the constant-memory VJP wraps the Chebyshev '
+                             'recurrence only')
         s = jnp.asarray(self.G._check_signal(np.asanyarray(s) if not
                                              isinstance(s, jax.Array) else s))
         if s.ndim == 1 or s.shape[-1] not in (1, self.Nf):

@@ -581,6 +581,9 @@ def sharded_cheby_synthesis(sg: ShardedGraph, lmax, c, y, mesh: Mesh,
     if cdt is not None and not isinstance(c, jax.core.Tracer):
         from pygsp_tpu.ops.chebyshev import _check_carry_budget
         _check_carry_budget(c, cdt, carry_tol)
+    if cdt is None and jnp.dtype(y.dtype) != jnp.promote_types(y.dtype,
+                                                               sg.dtype):
+        y = y.astype(jnp.promote_types(y.dtype, sg.dtype))  # one-dtype carry
 
     # windowed-shard layouts: chunk-carried recurrence (no per-step
     # chunk/unchunk copies), contracting the trailing filter axis
@@ -661,10 +664,12 @@ def _sharded_cheby_fg_bwd(mesh, res, g):
     c_shape = jnp.shape(c)
     c = jnp.atleast_2d(c)
     nf, m1 = c.shape
+    x_dt = x.dtype                   # cotangent dtype must match primal
+    x = x.astype(jnp.promote_types(x.dtype, sg.dtype))
     lmax_a = jnp.asarray(lmax, dtype=sg.dtype)
 
     x_bar = sharded_cheby_synthesis(sg, lmax_a, c, jnp.moveaxis(g, 0, -1),
-                                    mesh, ell=ell)
+                                    mesh, ell=ell).astype(x_dt)
 
     batch_sharded = np.ndim(x) > 1
     if _chunkcarried_layout(sg, ell) is not None:

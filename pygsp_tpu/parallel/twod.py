@@ -395,6 +395,9 @@ def cheby_op_2d(tg: TwoDGraph, lmax, c, x, mesh: Mesh, ell=None,
     if cdt is not None and not isinstance(c, jax.core.Tracer):
         from pygsp_tpu.ops.chebyshev import _check_carry_budget
         _check_carry_budget(c, cdt, carry_tol)
+    if cdt is None and jnp.dtype(x.dtype) != jnp.promote_types(x.dtype,
+                                                               tg.dtype):
+        x = x.astype(jnp.promote_types(x.dtype, tg.dtype))  # one-dtype carry
 
     if isinstance(ell, tuple):
         sdt = (jnp.dtype(scatter_dtype) if scatter_dtype is not None
@@ -639,6 +642,9 @@ def cheby_synthesis_2d(tg: TwoDGraph, lmax, c, y, mesh: Mesh, ell=None,
     if cdt is not None and not isinstance(c, jax.core.Tracer):
         from pygsp_tpu.ops.chebyshev import _check_carry_budget
         _check_carry_budget(c, cdt, carry_tol)
+    if cdt is None and jnp.dtype(y.dtype) != jnp.promote_types(y.dtype,
+                                                               tg.dtype):
+        y = y.astype(jnp.promote_types(y.dtype, tg.dtype))  # one-dtype carry
     sdt = jnp.dtype(scatter_dtype) if scatter_dtype is not None else None
     return _cheby_op_2d_ring(tg, lmax, c, y, mesh, ell, cdt, sdt,
                              synthesis=True)
@@ -678,10 +684,12 @@ def _cheby_2d_fg_bwd(mesh, res, g):
     c_shape = jnp.shape(c)
     c = jnp.atleast_2d(c)
     nf, m1 = c.shape
+    x_dt = x.dtype                   # cotangent dtype must match primal
+    x = x.astype(jnp.promote_types(x.dtype, tg.dtype))
     lmax_a = jnp.asarray(lmax, dtype=tg.dtype)
 
     x_bar = cheby_synthesis_2d(tg, lmax_a, c, jnp.moveaxis(g, 0, -1),
-                               mesh, ell=ell)
+                               mesh, ell=ell).astype(x_dt)
 
     # c̄[f,k] = <T̃_k x, ḡ_f>: one ring recurrence on x, each term
     # contracted against every cotangent bank member + psum over BOTH

@@ -696,3 +696,69 @@ def test_2d_windowed_local_spmm(problem):
     got = np.stack([np.asarray(tg.unpad_signal(out[f]))
                     for f in range(out.shape[0])])
     assert np.allclose(got, ref, atol=1e-9)
+
+
+@requires_multi
+def test_mixed_dtype_promotion():
+    """f64 graph (x64 default) + f32 signal must not break the scan-carry
+    dtype contract on ANY multi-chip path: 2-D ring forward/synthesis and
+    both fixed-graph backwards promote the signal once and return
+    cotangents in the primal's dtype (ADVICE r4 medium items)."""
+    from pygsp_tpu.parallel import (cheby_op_2d, cheby_op_2d_fixed_graph,
+                                    cheby_synthesis_2d, make_mesh_2d,
+                                    partition_graph_2d,
+                                    sharded_cheby_op_fixed_graph,
+                                    sharded_cheby_synthesis,
+                                    shard_local_windowed,
+                                    twod_local_windowed)
+    G = gsp.graphs.Sensor(96, seed=5)
+    G.estimate_lmax()
+    lmax = float(G.lmax)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(G.N, 2)).astype(np.float32)
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[3., 9.]).evaluate,
+                          lmax, m=4)
+    assert jnp.asarray(c).dtype == jnp.float64          # mixed by design
+    ref = np.asarray(cheby.cheby_op(G.L, lmax, c, jnp.asarray(x)))
+
+    # 2-D ring: forward, synthesis, and the fixed-graph VJP
+    tg = partition_graph_2d(G.W, 2, 2)
+    ell = twod_local_windowed(tg, ring=True, chunk_rows=64)
+    mesh2 = make_mesh_2d(2, 2)
+    xp = tg.pad_signal(x)
+    assert xp.dtype == jnp.float32
+    perm = np.asarray(tg.perm)
+    out = cheby_op_2d(tg, lmax, c, xp, mesh2, ell=ell)
+    assert np.allclose(np.asarray(out)[:, perm, :], ref, atol=1e-5)
+    y = rng.normal(size=(G.N, 2, 2)).astype(np.float32)
+    yp = tg.pad_signal(y)
+    ref_s = np.asarray(cheby.cheby_synthesis(G.L, lmax, c,
+                                             jnp.asarray(y)))
+    out_s = cheby_synthesis_2d(tg, lmax, c, yp, mesh2, ell=ell)
+    assert np.allclose(np.asarray(out_s)[perm], ref_s, atol=1e-5)
+
+    gc, gx = jax.grad(
+        lambda c_, x_: jnp.sum(
+            cheby_op_2d_fixed_graph(tg, lmax, c_, x_, mesh2, ell=ell)
+            ** 2), argnums=(0, 1))(c, xp)
+    assert gx.dtype == xp.dtype and gc.dtype == jnp.asarray(c).dtype
+    assert np.isfinite(np.asarray(gc)).all()
+
+    # 1-D sharded: synthesis forward + fixed-graph VJP
+    sg = partition_graph(G.W, 4)
+    mesh1 = make_mesh(4, 2)
+    xq = sg.pad_signal(x)
+    assert xq.dtype == jnp.float32
+    sw = shard_local_windowed(sg)
+    yq = np.zeros((sg.n_padded, 2, 2), np.float32)
+    yq[np.asarray(sg.perm)] = y
+    syn = sharded_cheby_synthesis(sg, lmax, c, jnp.asarray(yq), mesh1,
+                                  ell=sw)
+    assert np.allclose(np.asarray(syn)[np.asarray(sg.perm)], ref_s,
+                       atol=1e-5)
+    gc, gx = jax.grad(
+        lambda c_, x_: jnp.sum(
+            sharded_cheby_op_fixed_graph(sg, lmax, c_, x_, mesh1, ell=sw)
+            ** 2), argnums=(0, 1))(c, xq)
+    assert gx.dtype == xq.dtype and gc.dtype == jnp.asarray(c).dtype
+    assert np.isfinite(np.asarray(gc)).all()

@@ -151,6 +151,10 @@ def test_filter_fixed_graph(rng):
         g_.filter(np.zeros((G.N, 1, 2)), fixed_graph=True)
     with pytest.raises(ValueError, match='carry_dtype'):
         g_.filter(s, fixed_graph=True, carry_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match='chebyshev'):
+        g_.filter(s, fixed_graph=True, method='exact')
+    with pytest.raises(ValueError, match='chebyshev'):
+        g_.filter(s, fixed_graph=True, method='lanczos')
 
 
 def test_vals_dtype_fast_mode(rng):
