@@ -1,0 +1,211 @@
+"""Weak-scale LAYOUT inflation, round 5 — after the three fixes.
+
+Round 4 measured the deployed multi-chip layouts fragmenting at weak
+scale (``WEAKPAD_r4.json``: 2-D 1.52–1.57 slot pad, 1-D 2.5x). Three
+levers landed this round:
+
+1. **vertex-balanced 2-D slicing** (``partition_graph_2d(reorder=
+   'shuffle')`` default): kills the measured 1.68x padded-row-space
+   inflation of nnz-balanced slices on degree-ordered generator ids;
+2. **bytes-true chunk cap** (``GATHER_CLIFF_r5.json``: the gather cliff
+   is ~64 MB of operand, not 2^17 rows — f32 S=128 runs full-rate to
+   R=2^17, bf16 to 2^18): doubling/quadrupling R halves/quarters n_src
+   and scales the per-slab demand λ_w right back up;
+3. **fine-grained slab widths + borrow_span=4** (``core/windowed.py``):
+   at the λ_w the remaining fragmentation leaves, the fine grid and the
+   4-window slack pool cut the Poisson-variance padding.
+
+This measures the slot padding of each deployed layout at pr ∈ {2,4,8}
+(4/16/64 chips) in both chunk-cap modes. N=2^22 at 4 chips is the true
+per-chip bench share; 16 chips uses N=2^24 (true share); 64 chips also
+N=2^24 = 1/4 share (N=2^26 exceeds this host) — the driver of the
+per-pr inflation is per-step-matrix density deg/pr, which is share-
+independent once slices are vertex-balanced.
+
+Pad = slots/nnz is the compute-inflation proxy (3.6 ns/gathered slot;
+span-4 folds add ~9% f32 / ~18% bf16 — carried separately into
+``SCALING_r5.json``).
+
+Run (CPU, host-side only):
+  PALLAS_AXON_POOL_IPS="" JAX_PLATFORMS=cpu \
+      python benchmarks/weak_layout_pads_r5.py [config ...]
+with configs from: single p4 p16 p64 oned finalize  (default: all)
+Rows append to WEAKPAD_r5_rows.jsonl; 'finalize' assembles WEAKPAD_r5.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sps
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+ROWS_PATH = os.path.join(REPO, 'WEAKPAD_r5_rows.jsonl')
+
+F32_CAP = 1 << 17        # 64 MB at S=128 f32 (GATHER_CLIFF_r5)
+BF16_CAP = 1 << 18       # 64 MB at S=128 bf16
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_graph(logN):
+    N = 1 << logN
+    path = os.path.join(REPO, '.bench_cache', f'bafast_{N}_8.npz')
+    if os.path.exists(path):
+        with np.load(path) as d:
+            src, tgt = d['src'], d['tgt']
+    else:
+        from pygsp_tpu.graphs.barabasialbert import ba_edges_fast
+        t0 = time.time()
+        src, tgt = ba_edges_fast(N, m0=8, m=8, seed=42)
+        np.savez(path, src=src, tgt=tgt)
+        log(f'generated BA 2^{logN} in {time.time() - t0:.0f}s')
+    W = sps.csr_matrix(
+        (np.ones(2 * len(src), np.float32),
+         (np.concatenate([src, tgt]), np.concatenate([tgt, src]))),
+        shape=(N, N))
+    W.data[:] = 1.0
+    W.sum_duplicates()
+    return W
+
+
+def slots(ms):
+    import jax
+    tot = 0
+    for m in jax.tree_util.tree_leaves(
+            ms, is_leaf=lambda x: hasattr(x, 'cols')):
+        tot += int(np.prod(np.asarray(m.cols).shape))
+        lvls = (m.lvl_cols if hasattr(m, 'lvl_cols')
+                else [l.cols for l in m.levels])
+        tot += sum(int(np.prod(np.asarray(c).shape)) for c in lvls)
+    return tot
+
+
+def spans(ms):
+    import jax
+    return sorted({int(m.borrow_span) for m in jax.tree_util.tree_leaves(
+        ms, is_leaf=lambda x: hasattr(x, 'cols'))})
+
+
+def rec(**kw):
+    kw['ts'] = int(time.time())
+    with open(ROWS_PATH, 'a') as f:
+        f.write(json.dumps(kw) + '\n')
+    log(json.dumps(kw))
+
+
+def run_single():
+    """Single-chip reference pad on the bench graph (N=2^20, 16.7M
+    edges) with the CURRENT builder — the work-normalization base."""
+    from pygsp_tpu.core.windowed import windowed_from_scipy
+    W = load_graph(20)
+    m = windowed_from_scipy(W, dtype=np.float32)
+    rec(layout='single_chip', n_chips=1, pad=round(slots(m) / W.nnz, 4),
+        spans=spans(m), nnz=int(W.nnz))
+
+
+def run_2d(pr, pc, logN, share_note):
+    from pygsp_tpu.parallel import partition_graph_2d, twod_local_windowed
+    W = load_graph(logN)
+    nnz = W.nnz
+    p = pr * pc
+    t0 = time.time()
+    tg = partition_graph_2d(W, pr, pc, dtype=np.float32)
+    log(f'p={p} partition {time.time() - t0:.0f}s n_local={tg.n_local} '
+        f'(N/p={W.shape[0] // p})')
+    for cap, cap_name in ((F32_CAP, 'f32cap'), (BF16_CAP, 'bf16cap')):
+        for split, lname in ((False, '2d_ring'), (True, '2d_interleaved')):
+            t0 = time.time()
+            m = twod_local_windowed(tg, ring=True, split_cols=split,
+                                    max_chunk_rows=cap)
+            R = (m[0][0] if split else m[0]).chunk_rows
+            rec(layout=lname, n_chips=p, cap=cap_name,
+                pad=round(slots(m) / nnz, 4), chunk_rows=R,
+                spans=spans(m), n_local=int(tg.n_local),
+                build_s=round(time.time() - t0, 1), note=share_note)
+            del m
+
+
+def run_oned():
+    from pygsp_tpu.parallel import partition_graph, shard_local_windowed
+    W = load_graph(22)
+    nnz = W.nnz
+    for S in (4, 8):
+        sg = partition_graph(W, S, dtype=np.float32)
+        for cap, cap_name in ((F32_CAP, 'f32cap'), (BF16_CAP, 'bf16cap')):
+            m = shard_local_windowed(sg, split_boundary=False,
+                                     max_chunk_rows=cap)
+            rec(layout='1d_combined', n_chips=S, cap=cap_name,
+                pad=round(slots(m) / nnz, 4), chunk_rows=m.chunk_rows,
+                spans=spans(m),
+                note=f'halo={sg.halo_total} over n_local={sg.n_local}')
+            del m
+        del sg
+
+
+def finalize():
+    rows = [json.loads(l) for l in open(ROWS_PATH)]
+    # keep the latest row per (layout, n_chips, cap)
+    latest = {}
+    for r in rows:
+        latest[(r['layout'], r['n_chips'], r.get('cap', ''))] = r
+    rows = sorted(latest.values(),
+                  key=lambda r: (r['layout'], r['n_chips'], r.get('cap', '')))
+    single = next((r for r in rows if r['layout'] == 'single_chip'), None)
+    base = single['pad'] if single else 1.165
+    for r in rows:
+        r['inflation_vs_single_chip'] = round(r['pad'] / base, 3)
+        r.pop('ts', None)
+    out = {
+        'metric': 'weak_scale_layout_slot_padding_r5',
+        'graph': 'BA m=8; N=2^22 at 4 chips (true bench share), N=2^24 '
+                 'at 16 (true share) and 64 chips (1/4 share)',
+        'single_chip_pad': base,
+        'levers': ['partition_graph_2d vertex-balanced shuffle slicing',
+                   'bytes-true chunk cap (GATHER_CLIFF_r5: 64 MB, so '
+                   'R=2^17 f32 / 2^18 bf16 at S=128)',
+                   'fine-grained slab widths + borrow_span=4 '
+                   '(core/windowed.py)'],
+        'rows': rows,
+        'r4_reference': {'2d_ring@4': 1.523, '2d_interleaved@4': 1.565,
+                         '1d_combined@4': 2.333, '1d_combined@8': 2.981,
+                         'single_chip': 1.165},
+        'fold_cost_note': 'pad counts gathered slots; span-4 slabs add '
+                          '~9% (f32) / ~18% (bf16) fold FLOPs per slot, '
+                          'carried as slot_cost_mult in SCALING_r5.json',
+    }
+    with open(os.path.join(REPO, 'WEAKPAD_r5.json'), 'w') as f:
+        json.dump(out, f, indent=1)
+    log('WEAKPAD_r5.json written')
+
+
+def main():
+    cfgs = sys.argv[1:] or ['single', 'p4', 'oned', 'p16', 'p64',
+                            'finalize']
+    for c in cfgs:
+        t0 = time.time()
+        if c == 'single':
+            run_single()
+        elif c == 'p4':
+            run_2d(2, 2, 22, 'true weak share (16.8M edges/chip)')
+        elif c == 'p16':
+            run_2d(4, 4, 24, 'true weak share (16.8M edges/chip)')
+        elif c == 'p64':
+            run_2d(8, 8, 24, '1/4 share (4.2M edges/chip); density '
+                             'driver deg/pr is share-independent')
+        elif c == 'oned':
+            run_oned()
+        elif c == 'finalize':
+            finalize()
+        else:
+            raise SystemExit(f'unknown config {c}')
+        log(f'[{c}] done in {time.time() - t0:.0f}s')
+
+
+if __name__ == '__main__':
+    main()

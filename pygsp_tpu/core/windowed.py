@@ -73,19 +73,29 @@ _FOLD_SPLIT2 = False
          data_fields=['cols', 'vals', 'rowid', 'levels', 'level_rows',
                       'rowptr', 'perm', 'iperm'],
          meta_fields=['n_rows', 'n_cols', 'nnz', 'chunk_rows',
-                      'window_rows'])
+                      'window_rows', 'borrow_span'])
 @dataclasses.dataclass(frozen=True)
 class WindowedELLMatrix:
     """Windowed-compact sparse matrix (see module docstring).
 
     ``cols``/``vals``/``rowid``: ``(n_out, NW, n_src, L)`` slot slabs —
     ``cols`` local to the source chunk (sentinel ``== chunk_rows``:
-    clamped gather, zero value), ``rowid`` in ``[0, 2P)`` (uint8) giving
-    the output row RELATIVE to the slab's window base (values >= P
-    address the next window — borrowed slack). ``levels``/
+    clamped gather, zero value), ``rowid`` in ``[0, span·P)`` (uint8)
+    giving the output row RELATIVE to the slab's window base (values in
+    ``[d·P, (d+1)·P)`` address window ``w+d`` — borrowed slack, pooled
+    over ``borrow_span`` consecutive windows). ``levels``/
     ``level_rows``: residue tiers exactly as in
     :class:`~pygsp_tpu.core.chunked.ChunkedELLMatrix`. ``rowptr``: true
     global CSR pointer for degree queries.
+
+    ``borrow_span`` (meta, default 2 = the original one-window-deep
+    borrow): how many consecutive windows pool their slack. Fragmented
+    low-density blocks (weak-scale 2-D step matrices, ``WEAKPAD_r4``)
+    have per-slab demand λ_w ≪ 64 whose relative variance ~1/√λ_w makes
+    the 2-window pool pad ~1.4x; a 4-window pool cuts it to ~1.2x at
+    λ_w = 16 (measured in ``benchmarks/weak_layout_pads_r5.py``). The
+    fold's one-hot dim is ``span·P`` — FLOPs scale with span, so the
+    builder only widens the span when the pad win pays for it.
     """
 
     cols: jax.Array
@@ -99,6 +109,7 @@ class WindowedELLMatrix:
     nnz: int
     chunk_rows: int
     window_rows: int
+    borrow_span: int = 2
     # ``perm``/``iperm``: optional vertex relabeling (see the builder's
     # ``permute='shuffle'``). Contract stays ORIGINAL order — the SpMM
     # permutes on entry/exit and iterative drivers hoist both permutes
@@ -185,6 +196,7 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
     """
     R = mat.chunk_rows
     P = mat.window_rows
+    K = int(getattr(mat, 'borrow_span', 2))    # windows pooled per slab
     n_out, NW, n_src, L = mat.cols.shape
     xt = tuple(jnp.asarray(xk) for xk in x_chunks)
     trailing = xt[0].shape[1:]
@@ -192,7 +204,7 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
     S = x2[0].shape[1]
     pdt = jnp.promote_types(x2[0].dtype, mat.vals.dtype)   # product dtype
     dt = jnp.dtype(out_dtype) if out_dtype is not None else pdt
-    iota = jnp.arange(2 * P, dtype=jnp.int32)
+    iota = jnp.arange(K * P, dtype=jnp.int32)
 
     # Windows per scan step. The body's stacked gather ``p`` and the
     # one-hot fold materialize temps of ~4·nw·(n_src·L·(S̃+2P) + 8·P·S̃)
@@ -222,22 +234,27 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
         ob = jnp.dtype(dt).itemsize
 
         def est(nws):
-            return float(nws) * (n_src * L * (spad + 2 * P) * pb
-                                 + 8 * P * spad * ob)
+            return float(nws) * (n_src * L * (spad + K * P) * pb
+                                 + 4 * K * P * spad * ob)
 
         while nw_sub > 1 and nw_sub % 2 == 0 and est(nw_sub) > cap:
             nw_sub //= 2
+    if K > 2 and nw_sub < min(K, NW):
+        # the sub-chunked carry strip holds (K-1)·P rows — each inner
+        # group must cover at least that many windows
+        nw_sub = next((g for g in range(K, NW) if NW % g == 0), NW)
 
     with jax.named_scope('spmm_windowed'):
         def fold(co, va, ri, nw):
             """Gather all src chunks' slots + one-hot MXU fold ->
-            (nw, 2P, S) window rows (upper half = borrowed/forward)."""
+            (nw, K*P, S) window rows (part d = rows borrowed from
+            window w+d)."""
             ps = [va[:, c][..., None] * x2[c][co[:, c]]      # (nw, L, S)
                   for c in range(n_src)]
             p = (jnp.stack(ps, axis=1).reshape(nw, n_src * L, S)
                  if n_src > 1 else ps[0])
             oh = (ri.reshape(nw, n_src * L).astype(jnp.int32)[..., None]
-                  == iota).astype(pdt)              # (nw, n_src*L, 2P)
+                  == iota).astype(pdt)              # (nw, n_src*L, K*P)
             if _FOLD_SPLIT2 and pdt == jnp.float32:
                 p_hi = p.astype(jnp.bfloat16).astype(pdt)
                 p_lo = p - p_hi
@@ -255,15 +272,19 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
 
         if nw_sub == NW:
             # fast path: zero borrow prefix per out chunk (measured to
-            # fuse into the dot epilogue — windowed_diag5.py)
+            # fuse into the dot epilogue — windowed_diag5.py); part d
+            # overlap-adds shifted d windows forward
             def body(carry, slab):
                 t = fold(*slab, NW)
-                a = t[:, :P, :].reshape(NW * P, S)
-                b = t[:, P:, :].reshape(NW * P, S)
-                y = (a + jnp.concatenate([jnp.zeros((P, S), dt), b[:-P]])
-                     if NW > 1 else a)
+                y = t[:, :P, :].reshape(NW * P, S)
+                for d in range(1, K):
+                    if NW <= d:
+                        break     # packing never borrows past the block
+                    a = t[:, d * P:(d + 1) * P, :].reshape(NW * P, S)
+                    y = y + jnp.concatenate(
+                        [jnp.zeros((d * P, S), dt), a[:-d * P]])
                 return carry, y
-        else:
+        elif K == 2:
             # sub-chunked: an INNER scan over window groups, reshaping
             # the out chunk's slab inside the body (splitting the leading
             # window axis only — reshaping the scan INPUTS instead makes
@@ -285,6 +306,36 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
                     return b[-P:], y
 
                 _, ys2 = lax.scan(inner, jnp.zeros((P, S), dt),
+                                  (co, va, ri))
+                return carry, ys2.reshape(NW * P, S)
+        else:
+            # sub-chunked, K > 2: the carry is the (K-1)·P-row strip of
+            # forward contributions; nw_sub >= K guaranteed above
+            G = NW // nw_sub
+
+            def body(carry, slab):
+                co, va, ri = (a.reshape((G, nw_sub) + a.shape[1:])
+                              for a in slab)
+
+                def inner(bcar, sub):
+                    t = fold(*sub, nw_sub)
+                    y = t[:, :P, :].reshape(nw_sub * P, S)
+                    tails = []
+                    for d in range(1, K):
+                        a = t[:, d * P:(d + 1) * P, :].reshape(
+                            nw_sub * P, S)
+                        y = y + jnp.concatenate(
+                            [jnp.zeros((d * P, S), dt), a[:-d * P]])
+                        tails.append(jnp.concatenate(
+                            [a[-d * P:],
+                             jnp.zeros(((K - 1 - d) * P, S), dt)])
+                            if d < K - 1 else a[-d * P:])
+                    y = y + jnp.concatenate(
+                        [bcar, jnp.zeros(((nw_sub - K + 1) * P, S), dt)])
+                    return sum(tails), y
+
+                _, ys2 = lax.scan(inner,
+                                  jnp.zeros(((K - 1) * P, S), dt),
                                   (co, va, ri))
                 return carry, ys2.reshape(NW * P, S)
 
@@ -330,8 +381,48 @@ _SCATTER_NS = 25.0
 _WIDE_TIER = 8             # residue tier widths are {1, _WIDE_TIER}
 
 
+def _residue_cost(n_slabs, L, residue, window_rows):
+    """Shared slot+residue cost model (ns): slab gathers + level-tier
+    gathers + per-residue-row scatter. ``residue``: per-slab residue
+    edge counts."""
+    res_edges = float(residue.sum())
+    # residue rows <= min(residue, window rows); most carry 1 edge
+    res_rows = float(np.minimum(residue, window_rows).sum())
+    lvl_slots = res_rows + max(res_edges - res_rows, 0.0) * 1.6
+    return (n_slabs * L * _GATHER_NS
+            + lvl_slots * _GATHER_NS
+            + res_rows * 1.3 * _SCATTER_NS)
+
+
+def _greedy_borrow(counts2, L, span):
+    """Span-K borrow chain on ``(n_blocks, NW)`` int window demands:
+    window ``w``'s overflow spills into the free tails of slabs
+    ``w-span+1 .. w-1``, OLDEST usable slack first (it expires soonest —
+    the exchange argument makes this optimal). Returns
+    ``(B, residue)``: ``B[:, w, d]`` = slots window ``w`` places in slab
+    ``w-d``; ``residue[:, w]`` = edges that spill to the level tiers."""
+    nb, NW = counts2.shape
+    used = np.minimum(counts2, L)
+    avail = (L - used).astype(np.int64)
+    over = (counts2 - used).astype(np.int64)
+    B = np.zeros((nb, NW, span), np.int64)
+    residue = np.zeros((nb, NW), np.int64)
+    for w in range(NW):
+        o = over[:, w].copy()
+        for d in range(span - 1, 0, -1):
+            s = w - d
+            if s < 0:
+                continue
+            take = np.minimum(o, avail[:, s])
+            B[:, w, d] = take
+            avail[:, s] -= take
+            o -= take
+        residue[:, w] = o
+    return B, residue
+
+
 def _choose_slab_width(counts: np.ndarray, window_rows: int,
-                       L_cap: int = 512) -> int:
+                       span: int = 2, L_cap: int = 512) -> int:
     """Pick L minimising slots*gather + residue level cost.
 
     ``counts``: per-(out,src,window) slot demands with the window axis
@@ -341,22 +432,45 @@ def _choose_slab_width(counts: np.ndarray, window_rows: int,
     more than a slab slot — the model must reflect that or it starves
     the slabs (first measured attempt picked L *below* the window mean
     and spent half the SpMM in levels).
+
+    The grid is FINE below 32 (fragmented weak-scale blocks live at
+    λ_w ≪ 64, where the old step-8 grid left ~0.2x pad on the table —
+    ``WEAKPAD_r4.json``). ``span > 2`` scores the candidates with the
+    greedy borrow chain on a sampled block subset.
     """
     lam = counts.mean() if counts.size else 0.0
-    best_L, best_cost = 8, np.inf
-    for L in range(8, min(L_cap, max(16, int(2 * lam + 96))) + 1, 8):
+    hi = min(L_cap, max(16, int(2 * lam + 96)))
+    cand = [L for L in range(2, hi + 1)
+            if L <= 32 or (L <= 96 and L % 4 == 0) or L % 8 == 0]
+
+    def span2_cost(L):
         o = np.maximum(counts - L, 0)
         slack = np.maximum(L - counts, 0)
         b = np.minimum(o[..., 1:], slack[..., :-1])
         residue = o.astype(np.float64)
         residue[..., 1:] -= b
-        res_edges = float(residue.sum())
-        # residue rows <= min(residue, window rows); most carry 1 edge
-        res_rows = float(np.minimum(residue, window_rows).sum())
-        lvl_slots = res_rows + max(res_edges - res_rows, 0.0) * 1.6
-        cost = (counts.size * L * _GATHER_NS
-                + lvl_slots * _GATHER_NS
-                + res_rows * 1.3 * _SCATTER_NS)
+        return _residue_cost(counts.size, L, residue, window_rows)
+
+    scored = sorted((span2_cost(L), L) for L in cand)
+    if span <= 2:
+        return scored[0][1]
+
+    # deeper pooling shifts the optimum down — rescore a shortlist
+    # (plus its downward neighbourhood) with the true greedy chain on a
+    # block sample
+    short = sorted({L for _, L in scored[:10]}
+                   | {max(2, L - d) for _, L in scored[:4]
+                      for d in (1, 2, 3, 4, 6)})
+    c2 = counts.reshape(-1, counts.shape[-1])
+    if c2.shape[0] > 4096:
+        sel = np.random.default_rng(0).choice(c2.shape[0], 4096,
+                                              replace=False)
+        c2 = c2[sel]
+    scale = counts.size / c2.size
+    best_L, best_cost = short[0], np.inf
+    for L in short:
+        _, residue = _greedy_borrow(c2.astype(np.int64), L, span)
+        cost = scale * _residue_cost(c2.size, L, residue, window_rows)
         if cost < best_cost:
             best_L, best_cost = L, cost
     return best_L
@@ -377,10 +491,16 @@ def _window_counts(rows, cols, is_hub, n_rows, n_cols, R, P):
 
 
 def _pack_slabs(rows, cols, vals, is_hub, n_rows, n_cols, R, P, L,
-                counts=None):
+                counts=None, span=2):
     """Exact-pack non-hub edges into ``(n_out, NW, n_src, L)`` slabs with
     borrowed slack (see module docstring); hub edges and window overflow
     come back as residue COO for the level tiers.
+
+    ``span``: how many consecutive windows pool their slack — window
+    ``w``'s overflow may occupy the free tails of slabs ``w-span+1 ..
+    w-1`` of the SAME (out, src) block, carried with ``rowid ∈
+    [d·P, (d+1)·P)`` for slab ``w-d``. ``span=2`` reproduces the
+    original one-deep borrow.
 
     Returns ``(cols4, vals4, rowid4, res_rows, res_cols, res_vals)``.
     All inputs are host numpy in packing (post-relabel) order. ``counts``
@@ -390,6 +510,7 @@ def _pack_slabs(rows, cols, vals, is_hub, n_rows, n_cols, R, P, L,
     NW = R // P
     n_out = max(-(-n_rows // R), 1)
     n_src = max(-(-n_cols // R), 1)
+    K = int(span)
 
     i_e = rows // R
     c_e = cols // R
@@ -412,32 +533,53 @@ def _pack_slabs(rows, cols, vals, is_hub, n_rows, n_cols, R, P, L,
     np.cumsum(counts, out=run_start[1:])
     pos = np.arange(rows_w.size, dtype=np.int64) - run_start[slab_w]
 
-    # borrow: window w's overflow may occupy the free tail of slab w-1
-    # of the SAME (out, src) block. slack_{w-1} = L - min(c_{w-1}, L);
-    # b_w = min(overflow_w, slack_{w-1}) — closed form, no recursion.
-    c2 = counts.reshape(n_out * n_src, NW)
-    used = np.minimum(c2, L)
-    slack = L - used
-    overflow = c2 - used
-    borrow = np.zeros_like(c2)
-    borrow[:, 1:] = np.minimum(overflow[:, 1:], slack[:, :-1])
-    borrow_f = borrow.ravel()
+    c2 = counts.reshape(n_out * n_src, NW).astype(np.int64)
+    B, _ = _greedy_borrow(c2, L, K)
 
+    # cumB_excl[:, w, d]: overflow ranks assigned to FARTHER slabs
+    # (d' > d); window w's ranks [cumB_excl[d], cumB_excl[d] + B[d])
+    # land in slab w-d
+    cumB_excl = np.zeros_like(B)
+    for d in range(K - 2, 0, -1):
+        cumB_excl[:, :, d] = cumB_excl[:, :, d + 1] + B[:, :, d + 1]
+    # consumed[:, w, d]: dest slab (w-d)'s tail already taken by EARLIER
+    # borrowers (windows w-d+d', d' < d — processed first)
+    consumed = np.zeros_like(B)
+    for d in range(2, K):
+        s_ = np.zeros_like(c2)
+        for dp in range(1, d):
+            sh = d - dp
+            s_[:, sh:] += B[:, :-sh, dp]
+        consumed[:, :, d] = s_
+
+    borrow_tot = B[:, :, 1:].sum(axis=2).reshape(-1)
+    q = pos - L
     in_main = pos < L
-    in_borrow = ~in_main & (pos < L + borrow_f[slab_w])
-    in_residue = ~in_main & ~in_borrow
+    in_residue = ~in_main & (q >= borrow_tot[slab_w])
+    in_borrow = ~in_main & ~in_residue
 
-    dest_slab = np.where(in_borrow, slab_w - 1, slab_w)
-    dest_slot = np.where(in_borrow,
-                         np.minimum(counts[np.maximum(slab_w - 1, 0)], L)
-                         + (pos - L), pos)
-    rel_row = (rows_w % P) + np.where(in_borrow, P, 0)
+    Bf = B.reshape(-1, K)
+    Ef = cumB_excl.reshape(-1, K)
+    Cf = consumed.reshape(-1, K)
+    d_e = np.zeros(pos.size, np.int64)
+    dest_slot = np.where(in_main, pos, 0)
+    for d in range(1, K):
+        lo = Ef[slab_w, d]
+        m = in_borrow & (q >= lo) & (q < lo + Bf[slab_w, d])
+        if not m.any():
+            continue
+        d_e[m] = d
+        ds = slab_w[m] - d
+        dest_slot[m] = (np.minimum(counts[ds], L)
+                        + Cf[slab_w[m], d] + (q[m] - lo[m]))
+    dest_slab = np.where(in_borrow, slab_w - d_e, slab_w)
+    rel_row = (rows_w % P) + d_e * P
 
     keep = ~in_residue
     flat = dest_slab[keep] * L + dest_slot[keep]
     slab_cols = np.full(n_slabs * L, R, np.int32)
     slab_vals = np.zeros(n_slabs * L, vals.dtype)
-    slab_rowid = np.full(n_slabs * L, 2 * P - 1, np.uint8)
+    slab_rowid = np.full(n_slabs * L, K * P - 1, np.uint8)
     slab_cols[flat] = (cols_w[keep] % R).astype(np.int32)
     slab_vals[flat] = vals_w[keep]
     slab_rowid[flat] = rel_row[keep].astype(np.uint8)
@@ -456,7 +598,8 @@ def _pack_slabs(rows, cols, vals, is_hub, n_rows, n_cols, R, P, L,
 
 
 def auto_chunk_rows(nnz: int, n_rows: int, n_cols: int,
-                    window_rows: int = WINDOW_ROWS) -> int:
+                    window_rows: int = WINDOW_ROWS,
+                    max_rows: int | None = None) -> int:
     """Source-chunk size targeting window slot demand λ_w ≈ 64 (L ≈ 72).
 
     Probe-backed block-shape rule
@@ -466,17 +609,48 @@ def auto_chunk_rows(nnz: int, n_rows: int, n_cols: int,
     Too few src chunks make the slabs WIDE and the SpMM 1.6–2.6x slower
     at the SAME slot count and padding (L=280 at N=2^18: 1.53e10
     edge-ops/s; L=144 at N=2^19: 1.05e10; L=72 via smaller chunks:
-    2.5–2.7e10). Capped at the 2^16-row gather cliff, floored at 4·P.
+    2.5–2.7e10). Capped at the gather cliff, floored at 4·P.
+
+    ``max_rows``: override the 2^16-row default cap. The cliff is a
+    BYTES bound — ~64 MB of gather operand (``GATHER_CLIFF_r5.json``:
+    f32 S=128 fast to 2^17 rows, bf16 S=128 fast to 2^18; both cliff at
+    128 MB). Low-density weak-scale blocks should pass the largest cap
+    their (signal width × carry dtype) allows — doubling R halves n_src
+    and doubles λ_w, which is what keeps the slab padding at its
+    single-chip level (``WEAKPAD_r5.json``). The default stays 2^16
+    (safe through S=256 f32).
     """
     P = int(window_rows)
     deg = nnz / max(n_rows, 1)
     n_src_t = max(1, int(round(P * deg / 64.0)))
-    R = -(-n_cols // n_src_t)
-    R = -(-R // P) * P
     # the cliff cap must itself be a multiple of P (e.g. P=48 does not
-    # divide 2^16; returning a non-multiple fails builder validation)
-    cap = max(CHUNK_ROWS // P, 4) * P
-    return int(max(4 * P, min(cap, R)))
+    # divide 2^16; returning a non-multiple fails builder validation).
+    # 1.5% slack: the measured boundary (64 MB fast / 128 MB slow)
+    # is not byte-exact, and honoring it exactly forces an extra
+    # nearly-empty chunk whenever n_cols is a hair over a multiple of
+    # the cap — which both pads slots and dilutes every window's demand
+    # (the round-5 weak-pad p=4 rows regressed 1.04 → 1.62 from exactly
+    # this before the slack).
+    cap = int(max_rows or CHUNK_ROWS)
+    cap_eff = cap + max(P, cap // 64)
+    # divide n_cols as evenly as possible: smallest chunk count that
+    # respects both the λ_w target and the (slackened) cap
+    n_src = max(n_src_t, -(-n_cols // cap_eff))
+    R = -(-(-(-n_cols // n_src)) // P) * P
+    return int(max(4 * P, R))
+
+
+# Auto borrow-span rule: below this pooled per-slab demand the 2-window
+# borrow pad (~1+1/√λ_w) costs more than the extra one-hot width of a
+# 4-window pool (fold FLOPs ~9% of gather bytes per factor of 2 —
+# /tmp padsim sweeps + GATHER_CLIFF_r5).
+_SPAN4_LAMBDA = 24.0
+
+
+def _auto_span(counts_mean: float, window_rows: int) -> int:
+    if counts_mean >= _SPAN4_LAMBDA:
+        return 2
+    return max(2, min(4, 256 // int(window_rows)))
 
 
 def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
@@ -485,6 +659,7 @@ def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
                            slab_width: int | None = None,
                            hub_degree: int | None = None,
                            permute: str | None = 'shuffle',
+                           borrow_span: int | None = None,
                            dtype=None) -> WindowedELLMatrix:
     """Build a :class:`WindowedELLMatrix` from host COO (deduped edges).
 
@@ -550,15 +725,22 @@ def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
         raise ValueError(f'Unknown permute mode {permute!r}')
 
     counts = _window_counts(rows, cols, is_hub_edge, n_rows, n_cols, R, P)
+    if borrow_span is None:
+        borrow_span = _auto_span(float(counts.mean()) if counts.size
+                                 else 0.0, P)
+    K = int(borrow_span)
+    if K < 2 or K * P > 256:
+        raise ValueError(f'borrow_span must be in [2, {256 // P}] for '
+                         f'window_rows={P} (uint8 row ids)')
     if slab_width is None:
         L = _choose_slab_width(
-            counts.reshape(-1, R // P).astype(np.float64), P)
+            counts.reshape(-1, R // P).astype(np.float64), P, span=K)
     else:
         L = int(slab_width)
 
     (cols4, vals4, rowid4, res_rows, res_cols, res_vals) = _pack_slabs(
         rows, cols, vals, is_hub_edge, n_rows, n_cols, R, P, L,
-        counts=counts)
+        counts=counts, span=K)
     # residue (window spill + hub rows) -> {1, 8}-wide level tiers per
     # src chunk, wide rows split over repeated tier entries
     levels, level_rows = _pack_residue_levels(
@@ -569,7 +751,7 @@ def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
         rowid=rowid4, levels=levels,
         level_rows=level_rows, rowptr=rowptr.astype(np.int32),
         n_rows=int(n_rows), n_cols=int(n_cols), nnz=int(rows.size),
-        chunk_rows=R, window_rows=P,
+        chunk_rows=R, window_rows=P, borrow_span=K,
         perm=None if perm is None else perm.astype(np.int32),
         iperm=None if iperm is None else iperm.astype(np.int32))
     return jax.device_put(host)
@@ -635,7 +817,8 @@ def windowed_from_scipy(mat, *, dtype=None,
                         window_rows: int = WINDOW_ROWS,
                         slab_width: int | None = None,
                         hub_degree: int | None = None,
-                        permute: str | None = 'shuffle'
+                        permute: str | None = 'shuffle',
+                        borrow_span: int | None = None
                         ) -> WindowedELLMatrix:
     """scipy sparse → windowed-compact ELL."""
     csr = mat.tocsr()
@@ -647,7 +830,8 @@ def windowed_from_scipy(mat, *, dtype=None,
                                   window_rows=window_rows,
                                   slab_width=slab_width,
                                   hub_degree=hub_degree,
-                                  permute=permute, dtype=dtype)
+                                  permute=permute,
+                                  borrow_span=borrow_span, dtype=dtype)
 
 
 def windowed_to_scipy(mat: WindowedELLMatrix):

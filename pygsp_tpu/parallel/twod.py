@@ -116,7 +116,7 @@ def make_mesh_2d(pr: int, pc: int, devices=None) -> Mesh:
 
 def partition_graph_2d(W, pr: int, pc: int,
                        lap_type: str = 'combinatorial',
-                       reorder: str = 'none',
+                       reorder: str = 'shuffle',
                        dtype=None) -> TwoDGraph:
     """Partition a symmetric scipy adjacency into 2-D edge blocks.
 
@@ -124,9 +124,18 @@ def partition_graph_2d(W, pr: int, pc: int,
     (optionally reordered) vertex sequence; edge ``(u, v)`` lands on device
     ``(i_u, j_v)`` — the block row of ``u``'s slice × the block column of
     ``v``'s slice. ``reorder`` as in :func:`partition_graph` ('none',
-    'rcm', 'cluster'); for the 2-D layout the ordering only affects edge
-    *balance* across blocks, never communication volume (which is fixed at
-    ``(pr+pc-2)·n_local`` rows/device/step by construction).
+    'rcm', 'cluster') plus ``'shuffle'`` (the default): for the 2-D
+    layout the ordering never affects communication volume (fixed at
+    ``(pr+pc-2)·n_local`` rows/device/step by construction), so locality
+    is worthless here — but it controls BOTH edge balance and the padded
+    slice length ``n_local = max slice``. Generator orders correlate
+    vertex id with degree (a Barabási–Albert graph numbers its hubs
+    first), making nnz-balanced slices wildly unequal in vertex count —
+    measured ``n_local`` 1.68x of ``N/p`` on the weak-scale BA instance,
+    which dilutes the windowed block layouts' per-window density and
+    inflates the padded row space (``WEAKPAD_r4.json`` →
+    ``WEAKPAD_r5.json``). A seeded global shuffle makes every slice an
+    iid degree sample: edge balance ≤1.01 AND ``n_local ≈ N/p``.
     """
     from pygsp_tpu.parallel.partition import cluster_shards
 
@@ -140,6 +149,8 @@ def partition_graph_2d(W, pr: int, pc: int,
         order = sps.csgraph.reverse_cuthill_mckee(W, symmetric_mode=True)
     elif reorder == 'none':
         order = np.arange(N)
+    elif reorder == 'shuffle':
+        order = np.random.default_rng(0x5EED).permutation(N)
     elif reorder == 'cluster':
         labels = cluster_shards(W, p)
         order = np.argsort(labels, kind='stable')
@@ -223,7 +234,8 @@ def partition_graph_2d(W, pr: int, pc: int,
 
 def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
                         chunk_rows=None, slab_width=None, hub_degree=None,
-                        ring: bool = False, split_cols: bool = False):
+                        ring: bool = False, split_cols: bool = False,
+                        borrow_span=None, max_chunk_rows=None):
     """Windowed-compact layout of every device's edge block (the
     single-chip hot-path format, :mod:`pygsp_tpu.core.windowed`) for the
     local SpMM inside :func:`cheby_op_2d` — scatter-free slab gathers +
@@ -265,7 +277,8 @@ def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
             parts.append((rows[d_][real], cols[d_][real], vals[d_][real]))
         return _build(n_row_ext, vals.dtype, parts, tg.pr * tg.n_local,
                       window_rows or WINDOW_ROWS, chunk_rows, slab_width,
-                      hub_degree)
+                      hub_degree, borrow_span=borrow_span,
+                      max_chunk_rows=max_chunk_rows)
 
     P_ = window_rows or WINDOW_ROWS
     if chunk_rows is None:
@@ -274,7 +287,7 @@ def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
                           for d_ in range(tg.n_devices)))
         chunk_rows = auto_chunk_rows(
             nnz_est // max(tg.n_devices * tg.pr, 1), n_row_ext,
-            tg.n_local, P_)
+            tg.n_local, P_, max_rows=max_chunk_rows)
     if not split_cols:
         mats = []
         for k in range(tg.pr):
@@ -286,7 +299,8 @@ def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
                 sel = (i - c_ // tg.n_local) % tg.pr == k
                 parts.append((r[sel], c_[sel] % tg.n_local, v[sel]))
             mats.append(_build(n_row_ext, vals.dtype, parts, tg.n_local,
-                               P_, chunk_rows, slab_width, hub_degree))
+                               P_, chunk_rows, slab_width, hub_degree,
+                               borrow_span=borrow_span))
         return tuple(mats)
 
     mats = []
@@ -305,7 +319,7 @@ def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
                               c_[sel] % tg.n_local, v[sel]))
             row_k.append(_build(tg.n_local, vals.dtype, parts,
                                 tg.n_local, P_, chunk_rows, slab_width,
-                                hub_degree))
+                                hub_degree, borrow_span=borrow_span))
         mats.append(tuple(row_k))
     return tuple(mats)
 

@@ -36,9 +36,9 @@ import numpy as np
 
 from pygsp_tpu.core.chunked import ChunkLevel
 from pygsp_tpu.core.windowed import (WINDOW_ROWS, WindowedELLMatrix,
-                                     _WIDE_TIER, _choose_slab_width,
-                                     _pack_slabs, _window_counts,
-                                     windowed_spmm)
+                                     _WIDE_TIER, _auto_span,
+                                     _choose_slab_width, _pack_slabs,
+                                     _window_counts, windowed_spmm)
 from pygsp_tpu.parallel.partition import ShardedGraph
 
 
@@ -46,7 +46,7 @@ from pygsp_tpu.parallel.partition import ShardedGraph
          data_fields=['cols', 'vals', 'rowid', 'lvl_cols', 'lvl_vals',
                       'level_rows'],
          meta_fields=['lvl_src', 'n_local', 'n_ext', 'nnz', 'chunk_rows',
-                      'window_rows'])
+                      'window_rows', 'borrow_span'])
 @dataclasses.dataclass(frozen=True)
 class ShardedWindowed:
     """Stacked per-shard windowed-compact matrices (leading axis = shard).
@@ -70,6 +70,7 @@ class ShardedWindowed:
     nnz: int
     chunk_rows: int
     window_rows: int
+    borrow_span: int = 2
 
     @property
     def dtype(self):
@@ -97,7 +98,8 @@ class ShardedWindowed:
             level_rows=self.level_rows[0],
             rowptr=jnp.zeros(0, jnp.int32),
             n_rows=self.n_local, n_cols=self.n_ext, nnz=self.nnz,
-            chunk_rows=self.chunk_rows, window_rows=self.window_rows)
+            chunk_rows=self.chunk_rows, window_rows=self.window_rows,
+            borrow_span=self.borrow_span)
 
     def local_spmm(self, x: jax.Array) -> jax.Array:
         """``y = A_shard @ x`` with full-array input/output."""
@@ -201,7 +203,9 @@ def shard_local_windowed(sg: ShardedGraph, *,
                          chunk_rows: int | None = None,
                          slab_width: int | None = None,
                          hub_degree: int | None = None,
-                         split_boundary: bool = False):
+                         split_boundary: bool = False,
+                         borrow_span: int | None = None,
+                         max_chunk_rows: int | None = None):
     """Convert a ShardedGraph's per-shard COO into stacked windowed form.
 
     With ``split_boundary=True``, returns ``(interior, boundary)``: the
@@ -238,10 +242,12 @@ def shard_local_windowed(sg: ShardedGraph, *,
                           for s in range(sg.n_shards))
             chunk_rows = auto_chunk_rows(
                 nnz_est // max(sg.n_shards, 1), n_local,
-                max(n_ext, n_local), window_rows)
+                max(n_ext, n_local), window_rows,
+                max_rows=max_chunk_rows)
         interior = _build(sg.n_local, np.asarray(sg.vals).dtype,
                           *filtered(lambda c: c < n_local, 0, n_local),
-                          window_rows, chunk_rows, slab_width, hub_degree)
+                          window_rows, chunk_rows, slab_width, hub_degree,
+                          borrow_span=borrow_span)
         # boundary columns REBASED to the halo receive block [0,
         # halo_total): its SpMM applies to ``recv`` directly, so the
         # slabs span only halo chunks instead of wasting gathers on
@@ -249,7 +255,8 @@ def shard_local_windowed(sg: ShardedGraph, *,
         boundary = _build(sg.n_local, np.asarray(sg.vals).dtype,
                           *filtered(lambda c: c >= n_local, n_local,
                                     max(sg.halo_total, 1)),
-                          window_rows, chunk_rows, slab_width, hub_degree)
+                          window_rows, chunk_rows, slab_width, hub_degree,
+                          borrow_span=borrow_span)
         return interior, boundary
 
     parts = []
@@ -257,11 +264,12 @@ def shard_local_windowed(sg: ShardedGraph, *,
         real = rows[s] < n_local
         parts.append((rows[s][real], cols[s][real], vals[s][real]))
     return _build(sg.n_local, np.asarray(sg.vals).dtype, parts, n_ext,
-                  window_rows, chunk_rows, slab_width, hub_degree)
+                  window_rows, chunk_rows, slab_width, hub_degree,
+                  borrow_span=borrow_span, max_chunk_rows=max_chunk_rows)
 
 
 def _build(n_local, vdtype_in, parts, n_ext, window_rows, chunk_rows,
-           slab_width, hub_degree):
+           slab_width, hub_degree, borrow_span=None, max_chunk_rows=None):
     """Stack per-device (rows, cols, vals) blocks — rows in
     ``[0, n_local)``, cols in ``[0, n_ext)``, RECTANGULAR allowed — into
     one uniform-shape :class:`ShardedWindowed` (also used by the 2-D edge
@@ -272,7 +280,8 @@ def _build(n_local, vdtype_in, parts, n_ext, window_rows, chunk_rows,
         from pygsp_tpu.core.windowed import auto_chunk_rows
         nnz_est = sum(int(p[0].size) for p in parts)
         R = auto_chunk_rows(max(nnz_est // max(S, 1), 1), n_local,
-                            max(n_ext, n_local), P)
+                            max(n_ext, n_local), P,
+                            max_rows=max_chunk_rows)
     else:
         R = int(chunk_rows)
     if R % P:
@@ -301,15 +310,24 @@ def _build(n_local, vdtype_in, parts, n_ext, window_rows, chunk_rows,
         counts = _window_counts(r, c, is_hub, n_local, n_ext, R, P)
         shard_data.append((r, c, v, is_hub, counts))
         all_counts.append(counts.reshape(-1, R // P).astype(np.float64))
+    pooled = np.concatenate(all_counts, axis=0)
+    if borrow_span is None:
+        borrow_span = _auto_span(float(pooled.mean()) if pooled.size
+                                 else 0.0, P)
+    K = int(borrow_span)
+    if K < 2 or K * P > 256:
+        raise ValueError(f'borrow_span must be in [2, {256 // P}] for '
+                         f'window_rows={P} (uint8 row ids)')
     if slab_width is None:
-        L = _choose_slab_width(np.concatenate(all_counts, axis=0), P)
+        L = _choose_slab_width(pooled, P, span=K)
     else:
         L = int(slab_width)
 
     cols4, vals4, rowid4, residue = [], [], [], []
     for r, c, v, is_hub, counts in shard_data:
         c4, v4, r4, rr, rc, rv = _pack_slabs(r, c, v, is_hub, n_local,
-                                             n_ext, R, P, L, counts=counts)
+                                             n_ext, R, P, L, counts=counts,
+                                             span=K)
         cols4.append(c4)
         vals4.append(v4)
         rowid4.append(r4)
@@ -324,5 +342,5 @@ def _build(n_local, vdtype_in, parts, n_ext, window_rows, chunk_rows,
         lvl_cols=tuple(lvl_cols), lvl_vals=tuple(lvl_vals),
         level_rows=level_rows, lvl_src=lvl_src,
         n_local=int(n_local), n_ext=int(n_ext), nnz=nnz_total,
-        chunk_rows=R, window_rows=P)
+        chunk_rows=R, window_rows=P, borrow_span=K)
     return jax.device_put(host)

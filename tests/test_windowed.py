@@ -403,3 +403,65 @@ def test_bf16_carry_bound_holds():
     assert measured <= 1.5 * bound, (measured, bound)
     # and the measured error itself stays in the documented budget
     assert measured < 2.5e-2, measured
+
+
+def test_borrow_span_packing(rng):
+    """Span-K borrow chain (round 5): exact A@x parity and scipy
+    roundtrip at spans 2/3/4, including forced-narrow slabs (heavy
+    borrow + residue) and the sub-chunked inner-scan path."""
+    import os
+    import scipy.sparse as sps
+    from pygsp_tpu.core.windowed import (windowed_from_scipy,
+                                         windowed_spmm, windowed_to_scipy)
+
+    A = sps.random(3000, 5000, density=2e-3, random_state=7,
+                   format='csr')
+    A.data[:] = rng.normal(size=A.nnz)
+    x = rng.normal(size=(A.shape[1], 3))
+    ref = A @ x
+    for span in (2, 3, 4):
+        m = windowed_from_scipy(A, chunk_rows=1024, slab_width=4,
+                                borrow_span=span, permute=None)
+        assert m.borrow_span == span
+        y = np.asarray(windowed_spmm(m, jnp.asarray(x)))
+        np.testing.assert_allclose(y, ref, atol=1e-12)
+        assert abs(windowed_to_scipy(m) - A).max() < 1e-14
+
+    # sub-chunked inner scan with the (K-1)-window carry strip
+    os.environ['PYGSP_WINDOW_STEP'] = '4'
+    try:
+        m = windowed_from_scipy(A, chunk_rows=2048, slab_width=4,
+                                borrow_span=4, permute=None)
+        y = np.asarray(windowed_spmm(m, jnp.asarray(x)))
+        np.testing.assert_allclose(y, ref, atol=1e-12)
+    finally:
+        del os.environ['PYGSP_WINDOW_STEP']
+
+
+def test_auto_span_and_chunk_cap(rng):
+    """Auto rules (round 5): dense blocks keep span 2; fragmented
+    low-density blocks (lambda_w < 24) widen to span 4; auto_chunk_rows
+    honors the bytes-true max_rows cap; invalid spans refuse."""
+    import scipy.sparse as sps
+    from pygsp_tpu.core.windowed import (auto_chunk_rows,
+                                         windowed_from_scipy)
+
+    dense = sps.random(2000, 2000, density=2e-2, random_state=1,
+                       format='csr')
+    dense.data[:] = 1.0
+    assert windowed_from_scipy(dense).borrow_span == 2
+
+    frag = sps.random(1 << 15, 1 << 15, density=6e-5, random_state=2,
+                      format='csr')
+    frag.data[:] = 1.0
+    m = windowed_from_scipy(frag, chunk_rows=2048)
+    assert m.borrow_span == 4
+
+    assert auto_chunk_rows(10, 1 << 22, 1 << 22) == 1 << 16
+    assert auto_chunk_rows(10, 1 << 22, 1 << 22,
+                           max_rows=1 << 18) == 1 << 18
+
+    with pytest.raises(ValueError, match='borrow_span'):
+        windowed_from_scipy(dense, borrow_span=1)
+    with pytest.raises(ValueError, match='borrow_span'):
+        windowed_from_scipy(dense, window_rows=128, borrow_span=3)
