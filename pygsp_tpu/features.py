@@ -19,7 +19,17 @@ def compute_avg_adj_deg(G):
     """Average degree of a vertex and its neighbors
     (``features.py:11-23``). NOTE the reference computes a BOOLEAN
     adjacency product (2-step reachability counts, not 2-path counts);
-    matched here."""
+    matched here.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, features
+    >>> G = graphs.Ring(8)
+    >>> print(np.round(np.asarray(features.compute_avg_adj_deg(G)), 1))
+    [1. 1. 1. 1. 1. 1. 1. 1.]
+
+    """
     A = G.W > 0
     reach2 = ((A @ A) > 0)
     return np.asarray(reach2.sum(axis=1)).ravel().astype(float) / \
@@ -28,7 +38,19 @@ def compute_avg_adj_deg(G):
 
 @utils.filterbank_handler
 def compute_tig(g, i=0, **kwargs):
-    """Frame of one kernel: ``T_i g(n) = g(L)_{i,n}`` (``features.py:27-41``)."""
+    """Frame of one kernel: ``T_i g(n) = g(L)_{i,n}`` (``features.py:27-41``).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters, features
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.Heat(G, scale=[5, 20])
+    >>> np.asarray(features.compute_tig(g)).shape   # (Nf, N, N) atoms
+    (2, 64, 64)
+
+    """
     return _filters.Filter(g.G, g._kernels[i]).compute_frame(**kwargs)
 
 

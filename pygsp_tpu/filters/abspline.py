@@ -36,7 +36,25 @@ def _abspline3(x, alpha, beta, t1, t2):
 
 
 class Abspline(Filter):
-    r"""Spline band wavelets at log scales + tuned exp low-pass."""
+    r"""Spline band wavelets at log scales + tuned exp low-pass.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.Abspline(G, Nf=4)
+    >>> g.Nf
+    4
+    >>> y = np.asarray(g.evaluate(np.linspace(0, float(G.lmax), 6)))
+    >>> y.shape
+    (4, 6)
+    >>> s = np.zeros(G.N); s[9] = 1.0
+    >>> g.filter(s, order=30).shape
+    (64, 4)
+
+    """
 
     def __init__(self, G, Nf=6, lpfactor=20, scales=None):
         self.lpfactor = lpfactor

@@ -8,7 +8,22 @@ from pygsp_tpu.filters.filter import Filter
 
 
 class Expwin(Filter):
-    r"""C∞ band filter from the bump-function partition ``h = e/(e + ẽ)``."""
+    r"""C∞ band filter from the bump-function partition ``h = e/(e + ẽ)``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.Expwin(G, band_max=0.25)
+    >>> g.Nf
+    1
+    >>> lam = np.array([0.0, float(G.lmax)])
+    >>> print(np.round(np.asarray(g.evaluate(lam)), 1))  # pass low, kill high
+    [[0.9 0. ]]
+
+    """
 
     def __init__(self, G, band_min=None, band_max=0.2, slope=1):
         self.band_min = band_min

@@ -33,7 +33,27 @@ _logger = utils.build_logger(__name__)
 
 
 class Filter:
-    """A filter bank: list of spectral kernels attached to a graph."""
+    """A filter bank: list of spectral kernels attached to a graph.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.Filter(G, lambda x: 1.0 / (1.0 + x))  # custom kernel
+    >>> g.Nf
+    1
+    >>> s = np.zeros(G.N); s[13] = 1.0
+    >>> g.filter(s, order=30).shape
+    (64,)
+    >>> gb = g + filters.Heat(G, scale=5)     # bank concatenation
+    >>> gb.Nf
+    2
+    >>> gb[1].Nf                              # indexing into the bank
+    1
+
+    """
 
     def __init__(self, G, kernels):
         self.G = G
@@ -258,14 +278,37 @@ class Filter:
 
     def localize(self, i, **kwargs):
         """Filter √N·δᵢ to visualize the kernels in the vertex domain
-        (reference filter.py:350-391)."""
+        (reference filter.py:350-391).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pygsp_tpu import graphs, filters
+        >>> G = graphs.Sensor(64, seed=42)
+        >>> G.estimate_lmax()
+        >>> g = filters.Heat(G, scale=[5, 20])
+        >>> np.asarray(g.localize(7)).shape   # the two atoms centred at v=7
+        (64, 2)
+
+        """
         s = jnp.zeros(self.G.N).at[i].set(1.0)
         return jnp.sqrt(self.G.N) * self.filter(s, **kwargs)
 
     # -- frame machinery --------------------------------------------------
 
     def estimate_frame_bounds(self, x=None):
-        """(A, B) = min/max of Σᵢ gᵢ²(x) (reference filter.py:393-504)."""
+        """(A, B) = min/max of Σᵢ gᵢ²(x) (reference filter.py:393-504).
+
+        Examples
+        --------
+        >>> from pygsp_tpu import graphs, filters
+        >>> G = graphs.Sensor(64, seed=42)
+        >>> G.estimate_lmax()
+        >>> A, B = filters.Itersine(G, Nf=5).estimate_frame_bounds()
+        >>> print(round(float(B / A), 2))     # tight frame
+        1.0
+
+        """
         if x is None:
             x = jnp.linspace(0, self.G.lmax, 1000)
         else:
@@ -275,7 +318,19 @@ class Filter:
 
     def compute_frame(self, **kwargs):
         """Analysis-operator matrix (N·Nf, N) by filtering the identity
-        (reference filter.py:506-583). Small graphs only."""
+        (reference filter.py:506-583). Small graphs only.
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pygsp_tpu import graphs, filters
+        >>> G = graphs.Ring(16)
+        >>> G.estimate_lmax()
+        >>> g = filters.Heat(G, scale=[5, 20])
+        >>> np.asarray(g.compute_frame()).shape   # Nf*N atoms as rows
+        (32, 16)
+
+        """
         if self.G.N > 2000:
             _logger.warning('Creating a big matrix. '
                             'You should prefer the filter method.')
@@ -287,7 +342,22 @@ class Filter:
 
     def complement(self, frame_bound=None):
         """Kernel √(B − Σg²) that tightens the frame
-        (reference filter.py:602-661)."""
+        (reference filter.py:602-661).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pygsp_tpu import graphs, filters
+        >>> G = graphs.Sensor(64, seed=42)
+        >>> G.estimate_lmax()
+        >>> g = filters.Heat(G, scale=10)
+        >>> gc = g + g.complement()           # saturate the frame
+        >>> lam = np.linspace(0, float(G.lmax), 5)
+        >>> v = (np.asarray(gc.evaluate(lam)) ** 2).sum(axis=0)
+        >>> print(np.round(v, 2))             # now exactly tight
+        [1. 1. 1. 1. 1.]
+
+        """
         def kernel(x):
             y = jnp.sum(self.evaluate(x) ** 2, axis=0)
             if frame_bound is None:

@@ -9,7 +9,23 @@ from pygsp_tpu.filters.filter import Filter
 
 
 class Gabor(Filter):
-    r"""``g_i(x) = g(x − λ_i)`` for every graph frequency λ_i (Nf = N)."""
+    r"""``g_i(x) = g(x − λ_i)`` for every graph frequency λ_i (Nf = N).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Ring(16)
+    >>> G.compute_fourier_basis()
+    >>> mother = filters.Heat(G, scale=20)
+    >>> g = filters.Gabor(G, mother)
+    >>> g.Nf == G.N                  # one shifted kernel per frequency
+    True
+    >>> s = np.zeros(G.N); s[4] = 1.0
+    >>> g.filter(s, method='exact').shape
+    (16, 16)
+
+    """
 
     def __init__(self, graph, kernel):
         if kernel.n_filters != 1:

@@ -14,6 +14,26 @@ class Heat(Filter):
     (``pygsp/filters/heat.py:102-119``): one kernel per scale, default
     scale 10, optional L2 normalization by ``‖g(G.e)‖`` (requires the
     Fourier basis).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.Heat(G, scale=[10, 100])
+    >>> g.Nf
+    2
+    >>> print(np.round(np.asarray(g.evaluate(np.array([0.0]))), 2))
+    [[1.]
+     [1.]]
+    >>> s = np.zeros(G.N); s[7] = 1.0
+    >>> out = g.filter(s, order=30)
+    >>> out.shape
+    (64, 2)
+    >>> print(np.round(np.asarray(out.sum(axis=0)), 2))  # diffusion conserves mass
+    [1. 1.]
+
     """
 
     def __init__(self, G, scale=10, normalize: bool = False):

@@ -10,7 +10,27 @@ from pygsp_tpu.filters.filter import Filter
 
 
 class MexicanHat(Filter):
-    r"""Band-pass ``x·e^{-x}`` at log scales plus low-pass ``e^{-x⁴}``."""
+    r"""Band-pass ``x·e^{-x}`` at log scales plus low-pass ``e^{-x⁴}``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.MexicanHat(G, Nf=5)
+    >>> g.Nf
+    5
+    >>> y = np.asarray(g.evaluate(np.linspace(0, float(G.lmax), 8)))
+    >>> y.shape                     # one row per wavelet scale
+    (5, 8)
+    >>> bool(np.isfinite(y).all())
+    True
+    >>> s = np.zeros(G.N); s[11] = 1.0
+    >>> g.filter(s, order=30).shape
+    (64, 5)
+
+    """
 
     def __init__(self, G, Nf=6, lpfactor=20, scales=None, normalize=False):
         self.lpfactor = lpfactor

@@ -31,7 +31,26 @@ def _meyer_kernel(x, kind):
 
 
 class Meyer(Filter):
-    r"""Tight Meyer frame at dyadic scales ``(4/(3·lmax))·2^i``."""
+    r"""Tight Meyer frame at dyadic scales ``(4/(3·lmax))·2^i``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.Meyer(G, Nf=4)
+    >>> g.Nf
+    4
+    >>> lam = np.linspace(0, float(G.lmax), 5)
+    >>> v = (np.asarray(g.evaluate(lam)) ** 2).sum(axis=0)
+    >>> print(round(float(v.max() / v.min()), 2))   # tight: constant frame
+    1.0
+    >>> s = np.zeros(G.N); s[5] = 1.0
+    >>> g.filter(s, order=30).shape
+    (64, 4)
+
+    """
 
     def __init__(self, G, Nf=6, scales=None):
         if scales is None:

@@ -12,6 +12,21 @@ class Modulation(Filter):
     r"""Kernel modulated by each eigenvector — the vertex-frequency
     (windowed-GFT) analysis operator. ``evaluate`` is only defined at the
     graph eigenvalues, as in the reference.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Ring(16)
+    >>> G.compute_fourier_basis()
+    >>> mother = filters.Heat(G, scale=20)
+    >>> g = filters.Modulation(G, mother)
+    >>> g.Nf == G.N              # one modulated kernel per vertex frequency
+    True
+    >>> s = np.zeros(G.N); s[2] = 1.0
+    >>> g.filter(s, method='exact').shape
+    (16, 16)
+
     """
 
     def __init__(self, graph, kernel, modulation_first: bool = False):

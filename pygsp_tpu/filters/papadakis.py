@@ -8,7 +8,23 @@ from pygsp_tpu.filters.filter import Filter
 
 
 class Papadakis(Filter):
-    r"""Low/high pair: 1 on [0, a), ``√((1−sin(3πx/2a))/2)`` on [a, 5a/3)."""
+    r"""Low/high pair: 1 on [0, a), ``√((1−sin(3πx/2a))/2)`` on [a, 5a/3).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.Papadakis(G)
+    >>> g.Nf
+    2
+    >>> lam = np.linspace(0, float(G.lmax), 5)
+    >>> v = (np.asarray(g.evaluate(lam)) ** 2).sum(axis=0)
+    >>> print(np.round(v, 2))            # exact quadrature-mirror pair
+    [1. 1. 1. 1. 1.]
+
+    """
 
     def __init__(self, G, a=0.75):
         self.a = a

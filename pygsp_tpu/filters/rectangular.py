@@ -8,7 +8,20 @@ from pygsp_tpu.filters.filter import Filter
 
 
 class Rectangular(Filter):
-    r"""Indicator of ``band_min ≤ x/lmax ≤ band_max``."""
+    r"""Indicator of ``band_min ≤ x/lmax ≤ band_max``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.Rectangular(G, band_max=0.3)
+    >>> lam = np.array([0.1 * float(G.lmax), 0.9 * float(G.lmax)])
+    >>> print(np.asarray(g.evaluate(lam)))   # exact indicator of the band
+    [[1. 0.]]
+
+    """
 
     def __init__(self, G, band_min=None, band_max=0.2):
         self.band_min = band_min

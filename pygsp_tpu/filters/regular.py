@@ -8,7 +8,23 @@ from pygsp_tpu.filters.filter import Filter
 
 
 class Regular(Filter):
-    r"""Low/high pair with ``g_l² + g_h² = 1`` via iterated sine flattening."""
+    r"""Low/high pair with ``g_l² + g_h² = 1`` via iterated sine flattening.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.Regular(G, degree=2)
+    >>> g.Nf
+    2
+    >>> lam = np.linspace(0, float(G.lmax), 5)
+    >>> v = (np.asarray(g.evaluate(lam)) ** 2).sum(axis=0)
+    >>> print(np.round(v, 2))            # exact quadrature-mirror pair
+    [1. 1. 1. 1. 1.]
+
+    """
 
     def __init__(self, G, degree=3):
         self.degree = degree

@@ -8,7 +8,23 @@ from pygsp_tpu.filters.filter import Filter
 
 
 class Simoncelli(Filter):
-    r"""Low/high pair: 1 on [0, a), ``cos(π/2·log₂(x/a))`` on [a, 2a)."""
+    r"""Low/high pair: 1 on [0, a), ``cos(π/2·log₂(x/a))`` on [a, 2a).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.Simoncelli(G)
+    >>> g.Nf
+    2
+    >>> lam = np.linspace(0, float(G.lmax), 5)
+    >>> v = (np.asarray(g.evaluate(lam)) ** 2).sum(axis=0)
+    >>> print(np.round(v, 2))            # exact quadrature-mirror pair
+    [1. 1. 1. 1. 1.]
+
+    """
 
     def __init__(self, G, a=2 / 3):
         self.a = a

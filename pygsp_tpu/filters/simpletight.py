@@ -31,7 +31,23 @@ def _stf_kernel(x, kind):
 
 
 class SimpleTight(Filter):
-    r"""sin²/cos² tight pair at dyadic scales ``1/(2·lmax)·2^i``."""
+    r"""sin²/cos² tight pair at dyadic scales ``1/(2·lmax)·2^i``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.SimpleTight(G, Nf=4)
+    >>> g.Nf
+    4
+    >>> lam = np.linspace(0, float(G.lmax), 5)
+    >>> v = (np.asarray(g.evaluate(lam)) ** 2).sum(axis=0)
+    >>> print(round(float(v.max() / v.min()), 2))   # tight: constant frame
+    1.0
+
+    """
 
     def __init__(self, G, Nf=6, scales=None):
         if scales is None or (np.ndim(scales) == 0 and not scales):

@@ -8,7 +8,25 @@ from pygsp_tpu.filters.filter import Filter
 
 
 class Wave(Filter):
-    r"""``g(x) = cos(t·arccos(1 − s²x/(2·lmax)))`` per (time, speed) pair."""
+    r"""``g(x) = cos(t·arccos(1 − s²x/(2·lmax)))`` per (time, speed) pair.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, filters
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> g = filters.Wave(G, time=[5, 15], speed=1)
+    >>> g.Nf
+    2
+    >>> print(np.round(np.asarray(g.evaluate(np.array([0.0]))), 2))
+    [[1.]
+     [1.]]
+    >>> s = np.zeros(G.N); s[3] = 1.0
+    >>> g.filter(s, order=30).shape
+    (64, 2)
+
+    """
 
     def __init__(self, G, time=10, speed=1):
         try:

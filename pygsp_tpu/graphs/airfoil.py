@@ -8,7 +8,18 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class Airfoil(Graph):
-    """Airfoil mesh, N=4253, 12289 stored edges symmetrized by averaging."""
+    """Airfoil mesh, N=4253, 12289 stored edges symmetrized by averaging.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Airfoil()
+    >>> G.N, G.Ne
+    (4253, 12289)
+    >>> G.coords.shape
+    (4253, 2)
+
+    """
 
     def __init__(self, **kwargs):
         data = utils.loadmat('airfoil')

@@ -50,7 +50,20 @@ def ba_edges(N, m0=1, m=1, seed=None):
 
 class BarabasiAlbert(Graph):
     """Preferential attachment: each new node links to m earlier nodes with
-    probability proportional to degree+1 (reference semantics)."""
+    probability proportional to degree+1 (reference semantics).
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.BarabasiAlbert(100, m0=2, m=2, seed=42)
+    >>> G.N
+    100
+    >>> bool(G.is_connected())
+    True
+    >>> bool(G.d.max() > 3 * G.d.mean())   # heavy-tailed hub degrees
+    True
+
+    """
 
     def __init__(self, N=1000, m0=1, m=1, seed=None, **kwargs):
         if m > m0:

@@ -7,7 +7,18 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class Comet(Graph):
-    """Star of k rays around vertex 0 plus a tail path."""
+    """Star of k rays around vertex 0 plus a tail path.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Comet(12, k=5)
+    >>> G.N, G.Ne                    # a tree: 5-star head + tail
+    (12, 11)
+    >>> int(G.d[0])                  # the head vertex
+    5
+
+    """
 
     def __init__(self, N=32, k=12, **kwargs):
         if k > N - 1:

@@ -18,7 +18,18 @@ _logger = utils.build_logger(__name__)
 
 class Community(Graph):
     """Communities laid out on a circle; intra edges dense/kNN/epsNN,
-    inter edges sampled at ``world_density``."""
+    inter edges sampled at ``world_density``.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Community(N=60, Nc=3, seed=4)
+    >>> G.N
+    60
+    >>> G.coords.shape               # communities laid out on a disc
+    (60, 2)
+
+    """
 
     def __init__(self, N=256, Nc=None, min_comm=None, min_deg=None,
                  comm_sizes=None, size_ratio=1, world_density=None,

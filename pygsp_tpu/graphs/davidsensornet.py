@@ -7,7 +7,18 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class DavidSensorNet(Graph):
-    """Fixed 64/500-vertex sensor nets from assets, or random generation."""
+    """Fixed 64/500-vertex sensor nets from assets, or random generation.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.DavidSensorNet(N=64)
+    >>> G.N
+    64
+    >>> G.coords.shape
+    (64, 2)
+
+    """
 
     def __init__(self, N=64, seed=None, **kwargs):
         self.seed = seed

@@ -4,7 +4,18 @@ from pygsp_tpu.graphs.stochasticblockmodel import StochasticBlockModel
 
 
 class ErdosRenyi(StochasticBlockModel):
-    """G(N, p): an SBM with a single community."""
+    """G(N, p): an SBM with a single community.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.ErdosRenyi(50, p=0.2, seed=7)
+    >>> G.N
+    50
+    >>> bool(abs(G.Ne / (50 * 49 / 2) - 0.2) < 0.05)  # ~p of all pairs
+    True
+
+    """
 
     def __init__(self, N=100, p=0.1, directed=False, self_loops=False,
                  connected=False, n_try=10, seed=None, **kwargs):

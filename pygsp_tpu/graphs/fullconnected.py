@@ -6,7 +6,18 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class FullConnected(Graph):
-    """All-ones adjacency minus the diagonal."""
+    """All-ones adjacency minus the diagonal.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.FullConnected(8)
+    >>> G.N, G.Ne
+    (8, 28)
+    >>> bool((G.d == 7).all())
+    True
+
+    """
 
     def __init__(self, N=10, **kwargs):
         W = np.ones((N, N)) - np.identity(N)

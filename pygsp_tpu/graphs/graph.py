@@ -35,6 +35,25 @@ class Graph:
     Parameters mirror the reference ``Graph.__init__``
     (``graphs/graph.py:98-176``): ``adjacency`` is any square dense/sparse
     matrix; NaN/Inf raise; self-loops and negative weights warn.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs
+    >>> W = np.array([[0., 1., 0.],
+    ...               [1., 0., 2.],
+    ...               [0., 2., 0.]])
+    >>> G = graphs.Graph(W)
+    >>> G.N, G.Ne
+    (3, 2)
+    >>> G.dw                             # weighted degrees
+    array([1., 3., 2.])
+    >>> G.is_connected(), G.is_directed()
+    (True, False)
+    >>> G.set_signal('height', np.array([0., 1., 2.]))
+    >>> sorted(G.signals)
+    ['height']
+
     """
 
     def __init__(self, adjacency, lap_type: str = 'combinatorial',
@@ -184,7 +203,17 @@ class Graph:
         return graphs
 
     def subgraph(self, vertices):
-        """Induced subgraph on ``vertices`` (reference graph.py:218-255)."""
+        """Induced subgraph on ``vertices`` (reference graph.py:218-255).
+
+        Examples
+        --------
+        >>> from pygsp_tpu import graphs
+        >>> G = graphs.Ring(8)
+        >>> H = G.subgraph([0, 1, 2, 3])     # an arc of the ring
+        >>> H.N, H.Ne
+        (4, 3)
+
+        """
         vertices = np.asarray(vertices)
         adjacency = self._adjacency[vertices, :][:, vertices]
         try:
@@ -199,7 +228,16 @@ class Graph:
 
     def get_edge_list(self):
         """(sources, targets, weights); upper-triangular only if undirected
-        (reference graph.py:962-1029)."""
+        (reference graph.py:962-1029).
+
+        Examples
+        --------
+        >>> from pygsp_tpu import graphs
+        >>> v_in, v_out, weights = graphs.Path(4).get_edge_list()
+        >>> [list(map(int, v_in)), list(map(int, v_out))]
+        [[0, 1, 2], [1, 2, 3]]
+
+        """
         if self.is_directed():
             W = self._adjacency.tocoo()
         else:
@@ -326,7 +364,19 @@ class Graph:
                 self.n_vertices, 'auto')
 
     def dirichlet_energy(self, x):
-        """``x^T L x`` (reference graph.py:642-702)."""
+        """``x^T L x`` (reference graph.py:642-702).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pygsp_tpu import graphs
+        >>> G = graphs.Path(5)
+        >>> print(float(G.dirichlet_energy(np.ones(5))))   # constants are free
+        0.0
+        >>> bool(float(G.dirichlet_energy(np.arange(5.))) > 0)
+        True
+
+        """
         x = self._check_signal(x)
         x = jnp.asarray(x)
         return jnp.sum(x * matvec(self._L, x), axis=0)
@@ -353,6 +403,15 @@ class Graph:
 
         'lanczos': fixed-order jit-able Lanczos ×1.01 (role of ARPACK
         eigsh tol 5e-3). 'bounds': min of four algebraic upper bounds.
+
+        Examples
+        --------
+        >>> from pygsp_tpu import graphs
+        >>> G = graphs.Ring(8)               # true lmax of an even ring is 4
+        >>> G.estimate_lmax()
+        >>> bool(3.9 <= G.lmax <= 4.05)
+        True
+
         """
         if method == self._lmax_method:
             return
@@ -387,7 +446,20 @@ class Graph:
     # ------------------------------------------------------------------
 
     def compute_fourier_basis(self, n_eigenvectors=None):
-        """Dense eigendecomposition of L (reference fourier.py:97-195)."""
+        """Dense eigendecomposition of L (reference fourier.py:97-195).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pygsp_tpu import graphs
+        >>> G = graphs.Ring(8)
+        >>> G.compute_fourier_basis()
+        >>> G.U.shape
+        (8, 8)
+        >>> print(round(float(G.e[0]), 6))   # the constant mode
+        0.0
+
+        """
         if n_eigenvectors is None:
             n_eigenvectors = self.n_vertices
         if self._U is not None and n_eigenvectors <= len(self._e):
@@ -426,7 +498,19 @@ class Graph:
         return getattr(self, attr)
 
     def gft(self, s):
-        """Graph Fourier transform ``ŝ = Uᵀ s`` (reference fourier.py:197-230)."""
+        """Graph Fourier transform ``ŝ = Uᵀ s`` (reference fourier.py:197-230).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pygsp_tpu import graphs
+        >>> G = graphs.Ring(8)
+        >>> G.compute_fourier_basis()
+        >>> s = np.sin(np.arange(8))
+        >>> bool(np.allclose(np.asarray(G.igft(G.gft(s))), s))
+        True
+
+        """
         s = jnp.asarray(self._check_signal(s))
         U = self.U
         return jnp.tensordot(jnp.conj(U), s, axes=([0], [0]))
@@ -446,6 +530,20 @@ class Graph:
 
         Stored natively as per-edge gather/scatter index+value arrays —
         the TPU-friendly form — with a scipy view available via ``G.D``.
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pygsp_tpu import graphs
+        >>> G = graphs.Path(5)
+        >>> G.compute_differential_operator()
+        >>> s = np.arange(5.)
+        >>> np.asarray(G.D.grad(s)).shape    # one difference per edge
+        (4,)
+        >>> bool(np.allclose(np.asarray(G.D.div(G.D.grad(s))),
+        ...                  np.asarray(G.L @ s)))        # div∘grad = L
+        True
+
         """
         sources, targets, weights = self.get_edge_list()
         w = np.asarray(weights, dtype=np.float64)

@@ -7,7 +7,18 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class Grid2d(Graph):
-    """N1×N2 4-neighbor grid, optional weighted diagonal links."""
+    """N1×N2 4-neighbor grid, optional weighted diagonal links.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Grid2d(4, 3)
+    >>> G.N, G.Ne                    # 4*2 + 3*3 grid edges
+    (12, 17)
+    >>> G.coords.shape
+    (12, 2)
+
+    """
 
     def __init__(self, N1=16, N2=None, diagonal=0.0, **kwargs):
         if N2 is None:

@@ -11,7 +11,19 @@ _logger = utils.build_logger(__name__)
 
 class LineGraph(Graph):
     """Graph whose vertices are the edges of the input graph:
-    ``A = |D|ᵀ|D| − 2I`` over the binary incidence pattern."""
+    ``A = |D|ᵀ|D| − 2I`` over the binary incidence pattern.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Ring(6)
+    >>> L = graphs.LineGraph(G)      # one vertex per edge of the ring
+    >>> L.N == G.Ne
+    True
+    >>> L.Ne                         # ring line graph is again a 6-cycle
+    6
+
+    """
 
     def __init__(self, graph, **kwargs):
         if graph.is_weighted():

@@ -7,7 +7,18 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class Logo(Graph):
-    """GSP logo graph, N=1130, from the bundled ``logogsp`` asset."""
+    """GSP logo graph, N=1130, from the bundled ``logogsp`` asset.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Logo()
+    >>> G.N, G.Ne
+    (1130, 3131)
+    >>> sorted(G.info)               # the three sub-glyph index sets
+    ['idx_g', 'idx_p', 'idx_s']
+
+    """
 
     def __init__(self, **kwargs):
         data = utils.loadmat('logogsp')

@@ -7,7 +7,18 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class LowStretchTree(Graph):
-    """Recursive H-tree spanning a 2^k × 2^k grid."""
+    """Recursive H-tree spanning a 2^k × 2^k grid.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.LowStretchTree(k=3)
+    >>> G.N                          # 4**k vertices on a 2**k x 2**k grid
+    64
+    >>> G.coords.shape
+    (64, 2)
+
+    """
 
     def __init__(self, k=6, **kwargs):
         self.k = k

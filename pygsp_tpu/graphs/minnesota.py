@@ -8,7 +8,18 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class Minnesota(Graph):
-    """Road network, N=2642; ``connected=True`` adds the fix-up edge."""
+    """Road network, N=2642; ``connected=True`` adds the fix-up edge.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Minnesota()
+    >>> G.N, G.Ne
+    (2642, 3304)
+    >>> G.is_connected()
+    True
+
+    """
 
     def __init__(self, connected=True, **kwargs):
         self.connected = connected

@@ -5,7 +5,18 @@ from pygsp_tpu.graphs.nngraphs.nngraph import NNGraph
 
 
 class Bunny(NNGraph):
-    """Stanford bunny point cloud (2503 points), radius-NN graph."""
+    """Stanford bunny point cloud (2503 points), radius-NN graph.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Bunny()
+    >>> G.N, G.Ne
+    (2503, 78292)
+    >>> G.coords.shape
+    (2503, 3)
+
+    """
 
     def __init__(self, **kwargs):
         data = utils.loadmat('bunny')

@@ -6,7 +6,18 @@ from pygsp_tpu.graphs.nngraphs.nngraph import NNGraph
 
 
 class Cube(NNGraph):
-    """Random points on the unit cube's faces → kNN graph."""
+    """Random points on the unit cube's faces → kNN graph.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Cube(nb_pts=64, seed=6)
+    >>> G.coords.shape               # random samples on the cube surface
+    (60, 3)
+    >>> G.is_connected()
+    True
+
+    """
 
     def __init__(self, radius=1, nb_pts=300, nb_dim=3, sampling='random',
                  seed=None, **kwargs):

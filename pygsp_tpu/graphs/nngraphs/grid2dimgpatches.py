@@ -7,7 +7,20 @@ from pygsp_tpu.graphs.nngraphs.imgpatches import ImgPatches
 
 
 class Grid2dImgPatches(Graph):
-    """Aggregation (default: sum) of a pixel-grid graph and a patch graph."""
+    """Aggregation (default: sum) of a pixel-grid graph and a patch graph.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs
+    >>> img = np.random.default_rng(0).random((8, 8))
+    >>> G = graphs.Grid2dImgPatches(img)
+    >>> G.N
+    64
+    >>> G.coords.shape               # grid layout for plotting
+    (64, 2)
+
+    """
 
     def __init__(self, img, aggregate=lambda Wp, Wg: Wp + Wg, **kwargs):
         self.Gg = Grid2d(img.shape[0], img.shape[1])

@@ -10,7 +10,20 @@ from pygsp_tpu.graphs.nngraphs.nngraph import NNGraph
 
 
 class ImgPatches(NNGraph):
-    """kNN graph over local image patches (one vertex per pixel)."""
+    """kNN graph over local image patches (one vertex per pixel).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs
+    >>> img = np.random.default_rng(0).random((8, 8))
+    >>> G = graphs.ImgPatches(img, patch_shape=(3, 3))
+    >>> G.N                          # one vertex per pixel
+    64
+    >>> G.coords.shape               # features: the 3x3 patch per pixel
+    (64, 9)
+
+    """
 
     def __init__(self, img, patch_shape=(3, 3), **kwargs):
         self.img = img

@@ -6,7 +6,20 @@ from pygsp_tpu.graphs.nngraphs.nngraph import NNGraph
 
 
 class Sensor(NNGraph):
-    """Uniform (or perturbed-grid) points in [0,1]² → kNN graph."""
+    """Uniform (or perturbed-grid) points in [0,1]² → kNN graph.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.N
+    64
+    >>> G.is_connected()
+    True
+    >>> G.coords.shape               # uniform random positions in the square
+    (64, 2)
+
+    """
 
     def __init__(self, N=64, k=6, distributed=False, seed=None, **kwargs):
         self.distributed = distributed

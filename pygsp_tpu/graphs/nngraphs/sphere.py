@@ -6,7 +6,20 @@ from pygsp_tpu.graphs.nngraphs.nngraph import NNGraph
 
 
 class Sphere(NNGraph):
-    """Gaussian points normalized to the unit sphere → kNN graph."""
+    """Gaussian points normalized to the unit sphere → kNN graph.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Sphere(nb_pts=64, seed=6)
+    >>> G.N
+    64
+    >>> import numpy as np
+    >>> r = np.linalg.norm(G.coords, axis=1)   # all points on the shell
+    >>> bool(np.allclose(r, 1.0))
+    True
+
+    """
 
     def __init__(self, radius=1, nb_pts=300, nb_dim=3, sampling='random',
                  seed=None, **kwargs):

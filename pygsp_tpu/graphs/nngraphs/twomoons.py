@@ -7,7 +7,19 @@ from pygsp_tpu.graphs.nngraphs.nngraph import NNGraph
 
 
 class TwoMoons(NNGraph):
-    """Two interleaving half-circles (bundled asset or synthesized)."""
+    """Two interleaving half-circles (bundled asset or synthesized).
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.TwoMoons()            # the stored 2000-point set
+    >>> G.N
+    2000
+    >>> G2 = graphs.TwoMoons(moontype='synthesized', N=100, seed=7)
+    >>> G2.N, G2.coords.shape
+    (100, (100, 2))
+
+    """
 
     def _create_arc_moon(self, N, sigmad, distance, number, seed):
         rng = np.random.default_rng(seed)

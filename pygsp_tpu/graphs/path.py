@@ -7,7 +7,20 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class Path(Graph):
-    """Chain of N vertices; optionally directed."""
+    """Chain of N vertices; optionally directed.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Path(5)
+    >>> G.N, G.Ne
+    (5, 4)
+    >>> int(G.d.min()), int(G.d.max())   # two endpoints, three interior
+    (1, 2)
+    >>> G.is_connected()
+    True
+
+    """
 
     def __init__(self, N=16, directed=False, **kwargs):
         self.directed = directed

@@ -17,7 +17,18 @@ _logger = utils.build_logger(__name__)
 
 
 class RandomRegular(Graph):
-    """Every vertex has degree k (pairing/configuration model)."""
+    """Every vertex has degree k (pairing/configuration model).
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.RandomRegular(32, k=4, seed=2)
+    >>> G.N
+    32
+    >>> bool((G.d == 4).all())       # exactly k-regular
+    True
+
+    """
 
     def __init__(self, N=64, k=6, max_iter=10, seed=None, **kwargs):
         self.k = k

@@ -9,7 +9,18 @@ from pygsp_tpu.graphs.graph import Graph
 
 class RandomRing(Graph):
     """Random angles on a circle; consecutive points linked with weight
-    inversely proportional to their angular gap."""
+    inversely proportional to their angular gap.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.RandomRing(10, seed=1)
+    >>> G.N, G.Ne                    # ring topology, random arc positions
+    (10, 10)
+    >>> bool((G.d == 2).all())
+    True
+
+    """
 
     def __init__(self, N=64, angles=None, seed=None, **kwargs):
         self.seed = seed

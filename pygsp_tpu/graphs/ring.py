@@ -7,7 +7,20 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class Ring(Graph):
-    """N vertices on a circle, each linked to its k nearest ring neighbors."""
+    """N vertices on a circle, each linked to its k nearest ring neighbors.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Ring(8)
+    >>> G.N, G.Ne
+    (8, 8)
+    >>> bool((G.d == 2).all())       # every vertex has two neighbours
+    True
+    >>> G.coords.shape               # embedded on the unit circle
+    (8, 2)
+
+    """
 
     def __init__(self, N=64, k=1, **kwargs):
         self.k = k

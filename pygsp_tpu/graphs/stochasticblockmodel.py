@@ -98,7 +98,22 @@ class StochasticBlockModel(Graph):
     """SBM with community labels z and k×k probability matrix M
     (diag p, off-diag q). API matches the reference
     (``stochasticblockmodel.py:61-160``); see module docstring for the
-    vectorized construction."""
+    vectorized construction.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.StochasticBlockModel(N=90, k=3, p=0.5, q=0.05,
+    ...                                 seed=3)
+    >>> G.N
+    90
+    >>> G.info['node_com'].shape     # the planted community of each vertex
+    (90,)
+    >>> len(np.unique(G.info['node_com']))
+    3
+
+    """
 
     def __init__(self, N=1024, k=5, z=None, M=None, p=0.7, q=None,
                  directed=False, self_loops=False, connected=False,

@@ -7,7 +7,18 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class SwissRoll(Graph):
-    """Sampled swiss-roll manifold → Gaussian distance kernel, thresholded."""
+    """Sampled swiss-roll manifold → Gaussian distance kernel, thresholded.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.SwissRoll(N=100, seed=5)
+    >>> G.N
+    100
+    >>> G.coords.shape               # points on the rolled 2-manifold
+    (100, 3)
+
+    """
 
     def __init__(self, N=400, a=1, b=4, dim=3, thresh=1e-6, s=None,
                  noise=False, srtype='uniform', seed=None, **kwargs):

@@ -7,7 +7,20 @@ from pygsp_tpu.graphs.graph import Graph
 
 
 class Torus(Graph):
-    """Nv×Mv periodic 2-D lattice embedded on a 3-D torus."""
+    """Nv×Mv periodic 2-D lattice embedded on a 3-D torus.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> G = graphs.Torus(4, 3)
+    >>> G.N, G.Ne                    # 2N edges: every vertex has degree 4
+    (12, 24)
+    >>> bool((G.d == 4).all())
+    True
+    >>> G.coords.shape               # embedded in 3-D
+    (12, 3)
+
+    """
 
     def __init__(self, Nv=16, Mv=None, **kwargs):
         if Mv is None:

@@ -32,6 +32,18 @@ def regression_tikhonov(G, y, M, tau=0):
     solved with CG on the (SPD on the non-constant complement) ``L_uu``
     system using the masked full-graph operator, so no sparse submatrix
     extraction is needed — everything stays in the one SpMM kernel.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, learning
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> mask = np.zeros(64, bool); mask[:32] = True
+    >>> y = np.where(mask, 1.0, 0.0)      # constant signal, half observed
+    >>> out = learning.regression_tikhonov(G, y, mask, tau=0)
+    >>> bool(np.abs(np.asarray(out) - 1.0).max() < 1e-3)
+    True
+
     """
     y = jnp.asarray(y, dtype=G.L.dtype)
     M_mask = jnp.asarray(M, dtype=bool)
@@ -67,7 +79,21 @@ def regression_tikhonov(G, y, M, tau=0):
 
 
 def classification_tikhonov(G, y, M, tau=0):
-    """One-hot → logits → Tikhonov regression (``learning.py:183-253``)."""
+    """One-hot → logits → Tikhonov regression (``learning.py:183-253``).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, learning
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> mask = np.zeros(64, bool); mask[::2] = True
+    >>> labels = (np.arange(64) >= 32).astype(float)
+    >>> out = learning.classification_tikhonov(G, np.where(mask, labels, 0),
+    ...                                        mask, tau=0.1)
+    >>> np.asarray(out).shape             # one score column per class
+    (64, 2)
+
+    """
     y = np.asarray(y).copy()
     y[np.asarray(M) == False] = 0  # noqa: E712
     Y = _to_logits(y)

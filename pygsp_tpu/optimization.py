@@ -26,6 +26,18 @@ def prox_tv(x, gamma, G, A=None, At=None, nu=1, tol=1e-4, maxit=200,
     constrained to ‖p‖∞ ≤ γ, updated by projected gradient ascent with step
     1/(2·lmax·ν) (the gradient operator's norm bound the reference also
     uses, ``optimization.py:84``).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, optimization
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.compute_differential_operator()
+    >>> x = np.random.default_rng(0).normal(size=64)
+    >>> y = np.asarray(optimization.prox_tv(x, gamma=3.0, G=G))
+    >>> bool(np.var(y) < np.var(x))       # TV prox smooths along edges
+    True
+
     """
     if A is None:
         A = lambda z: z

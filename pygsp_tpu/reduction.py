@@ -54,6 +54,16 @@ def kron_reduction(G, ind, method: str = 'auto', seed=None):
                      route past ~10⁴ dropped vertices.
       'auto'       — 'exact' while the dropped set is ≤ %d, else
                      'eliminate'.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, reduction
+    >>> G = graphs.Path(8)
+    >>> Gk = reduction.kron_reduction(G, np.arange(0, 8, 2))
+    >>> Gk.N, Gk.Ne                       # a path reduces to a path
+    (4, 3)
+
     """ % _DENSE_SOLVE_MAX
     if isinstance(G, _graphs.Graph):
         if G.lap_type != 'combinatorial':
@@ -262,6 +272,15 @@ def graph_sparsify(M, epsilon, maxiter=10, seed=None, n_probes=24):
     graphs use the Johnson–Lindenstrauss CG sketch
     (:func:`effective_resistances_sketch`) so no O(N³)/O(N²) dense solve
     ever runs — this is what lets :func:`graph_multiresolution` scale.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs, reduction
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> Gs = reduction.graph_sparsify(G, epsilon=0.7, seed=1)
+    >>> bool(Gs.Ne <= G.Ne)               # spectrally-similar, fewer edges
+    True
+
     """ % _DENSE_RESISTANCE_MAX
     if isinstance(M, _graphs.Graph):
         if M.lap_type != 'combinatorial':
@@ -330,7 +349,18 @@ def graph_multiresolution(G, levels, sparsify=True, sparsify_eps=None,
                           reduction_method='kron', compute_full_eigen=False,
                           reg_eps=0.005):
     """Multiresolution pyramid: downsample by largest-eigenvector polarity,
-    Kron-reduce, optionally sparsify (reference ``reduction.py:196-306``)."""
+    Kron-reduce, optionally sparsify (reference ``reduction.py:196-306``).
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs, reduction
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> Gs = reduction.graph_multiresolution(G, levels=2)
+    >>> [H.N for H in Gs]                 # roughly halved every level
+    [64, 32, 14]
+
+    """
     if sparsify_eps is None:
         sparsify_eps = min(10.0 / np.sqrt(G.N), 0.3)
 
@@ -389,7 +419,21 @@ def graph_multiresolution(G, levels, sparsify=True, sparsify_eps=None,
 
 def pyramid_analysis(Gs, f, **kwargs):
     """Coarse approximations + prediction errors per level
-    (reference ``reduction.py:384-449``)."""
+    (reference ``reduction.py:384-449``).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs, reduction
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> G.estimate_lmax()
+    >>> Gs = reduction.graph_multiresolution(G, levels=2)
+    >>> f = np.random.default_rng(1).normal(size=64)
+    >>> ca, pe = reduction.pyramid_analysis(Gs, f)
+    >>> len(ca), len(pe)                  # coarse approxs + error per level
+    (3, 2)
+
+    """
     if np.shape(f)[0] != Gs[0].N:
         raise ValueError('PYRAMID ANALYSIS: The signal to analyze should '
                          'have the same dimension as the first graph.')
@@ -446,6 +490,16 @@ def tree_multiresolution(G, Nlevel, reduction_method='resistance_distance',
     and friends, ``reduction.py:718-757``); this is a working equivalent:
     keep the even-depth vertices of a BFS tree, connect each kept vertex to
     its grandparent, and iterate.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs, reduction
+    >>> T = graphs.Comet(15, k=4)         # a tree
+    >>> T.root = 0
+    >>> Gs, subs = reduction.tree_multiresolution(T, Nlevel=2)
+    >>> len(Gs)
+    3
+
     """
     if root is None:
         root = getattr(G, 'root', 0)
