@@ -194,20 +194,54 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
     never the row sums. bf16 products run the fold at native single-pass
     MXU precision (exact: the one-hot operand is 0/1).
     """
-    R = mat.chunk_rows
-    P = mat.window_rows
-    K = int(getattr(mat, 'borrow_span', 2))    # windows pooled per slab
-    n_out, NW, n_src, L = mat.cols.shape
-    xt = tuple(jnp.asarray(xk) for xk in x_chunks)
-    trailing = xt[0].shape[1:]
-    x2 = tuple(xk.reshape(xk.shape[0], -1) for xk in xt)   # (rows, S)
-    S = x2[0].shape[1]
-    pdt = jnp.promote_types(x2[0].dtype, mat.vals.dtype)   # product dtype
-    dt = jnp.dtype(out_dtype) if out_dtype is not None else pdt
+    return windowed_spmm_chunks_multi([mat], [x_chunks],
+                                      out_dtype=out_dtype)
+
+
+def windowed_spmm_chunks_multi(mats, x_chunks_list, out_dtype=None):
+    """``y_chunks = Σ_m A_m @ x_chunks_m`` — FUSED multi-matrix SpMM.
+
+    All matrices must share ``chunk_rows``, ``window_rows``,
+    ``borrow_span`` and the output row space; slab widths / source-chunk
+    counts may differ. The scan body folds every matrix's slabs for the
+    out chunk, SUMS the ``(nw, K·P, S)`` window tensors, and constructs
+    the output strip ONCE — this is the round-5 fix for the weak-scale
+    2-D engines, whose ``pr`` ring-step folds each materialized their
+    own full ``pc·n_local``-row partial strip (measured to dominate the
+    fragmented-block step time: ``FRAGDIAG5_r5.json`` p=16 folds spent
+    ~4x the ideal output traffic; summing before the strip removes the
+    ``pr−1`` extra strip rounds).
+    """
+    m0 = mats[0]
+    R = m0.chunk_rows
+    P = m0.window_rows
+    K = int(getattr(m0, 'borrow_span', 2))     # windows pooled per slab
+    n_out, NW = m0.cols.shape[:2]
+    for m in mats[1:]:
+        if (m.chunk_rows != R or m.window_rows != P
+                or int(getattr(m, 'borrow_span', 2)) != K
+                or m.cols.shape[:2] != (n_out, NW)):
+            raise ValueError('fused SpMM requires matching chunk_rows/'
+                             'window_rows/borrow_span/out chunking')
+    x2s, pdts = [], []
+    trailing = None
+    for xc in x_chunks_list:
+        xt = tuple(jnp.asarray(xk) for xk in xc)
+        if trailing is None:
+            trailing = xt[0].shape[1:]
+        x2s.append(tuple(xk.reshape(xk.shape[0], -1) for xk in xt))
+    S = x2s[0][0].shape[1]
+    for m, x2 in zip(mats, x2s):
+        pdts.append(jnp.promote_types(x2[0].dtype, m.vals.dtype))
+    dt = (jnp.dtype(out_dtype) if out_dtype is not None
+          else jnp.dtype(pdts[0]))
+    for p_ in pdts[1:]:
+        if out_dtype is None:
+            dt = jnp.promote_types(dt, p_)
     iota = jnp.arange(K * P, dtype=jnp.int32)
 
     # Windows per scan step. The body's stacked gather ``p`` and the
-    # one-hot fold materialize temps of ~4·nw·(n_src·L·(S̃+2P) + 8·P·S̃)
+    # one-hot fold materialize temps of ~4·nw·(n_src·L·(S̃+K·P) + 8·P·S̃)
     # bytes (S̃ = S lane-padded to 128) — at config-5 scale (32 src
     # chunks) that is gigabytes, so the scan sub-chunks the window axis,
     # carrying the (P, S) borrowed block across steps. Borrowing never
@@ -230,12 +264,15 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
         # to ~1 MB and goes latency-bound (measured at config-5 scale:
         # nw_sub 64 -> 36% of roofline, 256 -> 70%, 512 -> 87%), so the
         # estimate must not over-shrink when the carry is narrow.
-        pb = jnp.dtype(pdt).itemsize
         ob = jnp.dtype(dt).itemsize
 
         def est(nws):
-            return float(nws) * (n_src * L * (spad + K * P) * pb
-                                 + 4 * K * P * spad * ob)
+            tot = 4.0 * K * P * spad * ob
+            for m, p_ in zip(mats, pdts):
+                n_src, L = m.cols.shape[2:]
+                tot += (n_src * L * (spad + K * P)
+                        * jnp.dtype(p_).itemsize)
+            return float(nws) * tot
 
         while nw_sub > 1 and nw_sub % 2 == 0 and est(nw_sub) > cap:
             nw_sub //= 2
@@ -245,8 +282,8 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
         nw_sub = next((g for g in range(K, NW) if NW % g == 0), NW)
 
     with jax.named_scope('spmm_windowed'):
-        def fold(co, va, ri, nw):
-            """Gather all src chunks' slots + one-hot MXU fold ->
+        def fold_one(co, va, ri, nw, x2, pdt, n_src, L):
+            """Gather one matrix's src-chunk slots + one-hot MXU fold ->
             (nw, K*P, S) window rows (part d = rows borrowed from
             window w+d)."""
             ps = [va[:, c][..., None] * x2[c][co[:, c]]      # (nw, L, S)
@@ -270,12 +307,21 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
             return jnp.einsum('wlp,wls->wps', oh, p, precision=prec,
                               preferred_element_type=dt)
 
+        def fold(slabs, nw):
+            """Σ over matrices of the per-matrix window folds."""
+            t = None
+            for (co, va, ri), m, x2, pdt in zip(slabs, mats, x2s, pdts):
+                n_src, L = m.cols.shape[2:]
+                tm = fold_one(co, va, ri, nw, x2, pdt, n_src, L)
+                t = tm if t is None else t + tm
+            return t
+
         if nw_sub == NW:
             # fast path: zero borrow prefix per out chunk (measured to
             # fuse into the dot epilogue — windowed_diag5.py); part d
             # overlap-adds shifted d windows forward
-            def body(carry, slab):
-                t = fold(*slab, NW)
+            def body(carry, slabs):
+                t = fold(slabs, NW)
                 y = t[:, :P, :].reshape(NW * P, S)
                 for d in range(1, K):
                     if NW <= d:
@@ -293,32 +339,33 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
             # carry starts at zeros every chunk.
             G = NW // nw_sub
 
-            def body(carry, slab):
-                co, va, ri = (a.reshape((G, nw_sub) + a.shape[1:])
-                              for a in slab)
+            def body(carry, slabs):
+                subs = tuple(
+                    tuple(a.reshape((G, nw_sub) + a.shape[1:])
+                          for a in slab) for slab in slabs)
 
                 def inner(bcar, sub):
-                    t = fold(*sub, nw_sub)
+                    t = fold(sub, nw_sub)
                     a = t[:, :P, :].reshape(nw_sub * P, S)
                     b = t[:, P:, :].reshape(nw_sub * P, S)
                     y = a + (jnp.concatenate([bcar, b[:-P]])
                              if nw_sub > 1 else bcar)
                     return b[-P:], y
 
-                _, ys2 = lax.scan(inner, jnp.zeros((P, S), dt),
-                                  (co, va, ri))
+                _, ys2 = lax.scan(inner, jnp.zeros((P, S), dt), subs)
                 return carry, ys2.reshape(NW * P, S)
         else:
             # sub-chunked, K > 2: the carry is the (K-1)·P-row strip of
             # forward contributions; nw_sub >= K guaranteed above
             G = NW // nw_sub
 
-            def body(carry, slab):
-                co, va, ri = (a.reshape((G, nw_sub) + a.shape[1:])
-                              for a in slab)
+            def body(carry, slabs):
+                subs = tuple(
+                    tuple(a.reshape((G, nw_sub) + a.shape[1:])
+                          for a in slab) for slab in slabs)
 
                 def inner(bcar, sub):
-                    t = fold(*sub, nw_sub)
+                    t = fold(sub, nw_sub)
                     y = t[:, :P, :].reshape(nw_sub * P, S)
                     tails = []
                     for d in range(1, K):
@@ -335,25 +382,26 @@ def windowed_spmm_chunks(mat: WindowedELLMatrix, x_chunks,
                     return sum(tails), y
 
                 _, ys2 = lax.scan(inner,
-                                  jnp.zeros(((K - 1) * P, S), dt),
-                                  (co, va, ri))
+                                  jnp.zeros(((K - 1) * P, S), dt), subs)
                 return carry, ys2.reshape(NW * P, S)
 
-        _, ys = lax.scan(body, 0, (mat.cols, mat.vals, mat.rowid))
+        _, ys = lax.scan(body, 0,
+                         tuple((m.cols, m.vals, m.rowid) for m in mats))
         yf = ys.reshape(n_out * NW * P, S)
 
-        if mat.levels:
-            # NW*P == R exactly (validated at build), so global row ids
-            # index the chunk-stacked output directly (only the final
-            # chunk is padded, past every real row)
-            ps = jnp.concatenate(
-                [_slot_block_sum(lev.cols, lev.vals, x2[lev.src_chunk],
-                                 out_dtype=dt)
-                 for lev in mat.levels])
-            yf = yf.at[mat.level_rows].add(ps, mode='drop')
+        for m, x2 in zip(mats, x2s):
+            if m.levels:
+                # NW*P == R exactly (validated at build), so global row
+                # ids index the chunk-stacked output directly (only the
+                # final chunk is padded, past every real row)
+                ps = jnp.concatenate(
+                    [_slot_block_sum(lev.cols, lev.vals,
+                                     x2[lev.src_chunk], out_dtype=dt)
+                     for lev in m.levels])
+                yf = yf.at[m.level_rows].add(ps, mode='drop')
 
-    return tuple(yf[i * R:i * R + mat.out_chunk_size(i)]
-                 .reshape((mat.out_chunk_size(i),) + trailing)
+    return tuple(yf[i * R:i * R + m0.out_chunk_size(i)]
+                 .reshape((m0.out_chunk_size(i),) + trailing)
                  for i in range(n_out))
 
 

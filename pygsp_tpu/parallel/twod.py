@@ -301,6 +301,10 @@ def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
             mats.append(_build(n_row_ext, vals.dtype, parts, tg.n_local,
                                P_, chunk_rows, slab_width, hub_degree,
                                borrow_span=borrow_span))
+            # the fused multi-matrix fold needs ONE borrow span across
+            # all ring steps — pin the auto choice of step 0
+            if borrow_span is None:
+                borrow_span = mats[0].borrow_span
         return tuple(mats)
 
     mats = []
@@ -320,6 +324,8 @@ def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
             row_k.append(_build(tg.n_local, vals.dtype, parts,
                                 tg.n_local, P_, chunk_rows, slab_width,
                                 hub_degree, borrow_span=borrow_span))
+            if borrow_span is None:
+                borrow_span = row_k[0].borrow_span
         mats.append(tuple(row_k))
     return tuple(mats)
 
@@ -516,9 +522,19 @@ def _ring_body_setup(tg, ell_sl, interleave, R, diag, lmax, x_local, cdt,
     (double-buffered row all-gather + either the terminal
     ``psum_scatter`` or the interleaved col ring). Used by the
     forward/synthesis scan and the fixed-graph backward's
-    coefficient-gradient body."""
+    coefficient-gradient body.
+
+    Round 5: the ``pr`` ring-step folds run as ONE fused multi-matrix
+    SpMM (:func:`pygsp_tpu.core.windowed.windowed_spmm_chunks_multi`)
+    that sums the window tensors before building the output strip —
+    each separate fold used to materialize its own full
+    ``pc·n_local``-row partial strip, which dominated the fragmented
+    weak-scale step time (``FRAGDIAG5_r5.json``/``FRAGDIAG6_r5.json``).
+    Step 0 still folds under the ring shifts (the shifts are a chain on
+    the ICI DMA engine and hide under it)."""
     from pygsp_tpu.core.chunked import chunk_signal
-    from pygsp_tpu.core.windowed import windowed_spmm_chunks
+    from pygsp_tpu.core.windowed import (windowed_spmm_chunks,
+                                         windowed_spmm_chunks_multi)
     pr, pc = tg.pr, tg.pc
     odt = x_local.dtype
     a1 = lmax / 2
@@ -546,72 +562,69 @@ def _ring_body_setup(tg, ell_sl, interleave, R, diag, lmax, x_local, cdt,
     rperm = [(r, (r + 1) % pr) for r in range(pr)]
     cperm = [(q, (q + 1) % pc) for q in range(pc)]
 
+    def collect_sources(t_chunks):
+        """(pr-1) single-shift ppermutes along 'row' → every source
+        slice's chunk tuple. The shifts form a chain on the ICI DMA
+        engine; they overlap whatever compute is issued after them."""
+        buf = t_chunks
+        srcs = []
+        for k in range(pr):
+            srcs.append(buf)
+            if k < pr - 1:
+                with jax.named_scope('ring_shift'):
+                    buf = tuple(jax.lax.ppermute(b, 'row', rperm)
+                                for b in buf)
+        return srcs
+
+    def fused_fold(mlist, srcs, first_separate):
+        """Σ_k mats fold. ``first_separate``: fold step 0 as its own
+        call issued right after shift 0 (hides the remaining shift
+        chain underneath it), then the rest as ONE fused strip."""
+        if len(mlist) == 1:
+            return windowed_spmm_chunks(mlist[0], srcs[0], **spmm_kw)
+        if first_separate:
+            with jax.named_scope('ring_fold0'):
+                y0 = windowed_spmm_chunks(mlist[0], srcs[0], **spmm_kw)
+            with jax.named_scope('ring_fold_fused'):
+                yk = windowed_spmm_chunks_multi(mlist[1:], srcs[1:],
+                                                **spmm_kw)
+            return tuple(a + b for a, b in zip(y0, yk))
+        with jax.named_scope('ring_fold_fused'):
+            return windowed_spmm_chunks_multi(mlist, srcs, **spmm_kw)
+
     def offdiag_interleaved(t_chunks):
         """Row all-gather AND col reduce-scatter both ring-overlapped.
 
-        Phase A: collect the pr source blocks over the row ring,
-        folding schedule position s=0 (the first partial to send)
-        under the shifts. Phase B: ring reduce-scatter along 'col' —
-        hop s carries the partial for destination
-        ``(j − 1 − s) mod pc`` while the fold of position s+1 (pr
-        sub-folds over the buffered sources) runs beneath it; each
-        device's mats[k][s] was built in ITS schedule order, so
-        every fold is a static sub-matrix. After pc−1 hops the
-        running partial holds the complete sum for the device's own
-        block. No exposed comm remains on either axis.
+        Phase A: collect the pr source blocks over the row ring, then
+        schedule position s=0 (the first partial to send) as step-0
+        fold + one fused strip over steps 1..pr-1. Phase B: ring
+        reduce-scatter along 'col' — hop s carries the partial for
+        destination ``(j − 1 − s) mod pc`` while the FUSED fold of
+        position s+1 runs beneath it; each device's mats[k][s] was
+        built in ITS schedule order, so every fold is a static
+        sub-matrix. After pc−1 hops the running partial holds the
+        complete sum for the device's own block. No exposed comm
+        remains on either axis.
         """
-        buf = t_chunks
-        srcs = []
-        r = None
-        for k in range(pr):
-            if k < pr - 1:
-                with jax.named_scope('ring_shift'):
-                    nxt = tuple(jax.lax.ppermute(b, 'row', rperm)
-                                for b in buf)
-            else:
-                nxt = None
-            srcs.append(buf)
-            with jax.named_scope('ring_fold_s0'):
-                yk = windowed_spmm_chunks(mats[k][0], buf, **spmm_kw)
-            r = yk if r is None else tuple(a + b
-                                           for a, b in zip(r, yk))
-            buf = nxt
+        srcs = collect_sources(t_chunks)
+        r = fused_fold([mats[k][0] for k in range(pr)], srcs, True)
         for s in range(1, pc):
             with jax.named_scope('col_ring_hop'):
                 send = (r if sdt is None
                         else tuple(a.astype(sdt) for a in r))
                 recv = tuple(jax.lax.ppermute(a, 'col', cperm)
                              for a in send)
-            r = None
             with jax.named_scope(f'ring_fold_s{s}'):
-                for k in range(pr):
-                    yk = windowed_spmm_chunks(mats[k][s], srcs[k],
-                                              **spmm_kw)
-                    r = yk if r is None else tuple(
-                        a + b for a, b in zip(r, yk))
+                r = fused_fold([mats[k][s] for k in range(pr)], srcs,
+                               False)
             r = tuple(a + b.astype(odt) for a, b in zip(r, recv))
         return r
 
     def offdiag_apply(t_chunks):
         if interleave:
             return offdiag_interleaved(t_chunks)
-        buf = t_chunks
-        y = None
-        for k in range(pr):
-            if k < pr - 1:
-                # issue the next shift BEFORE folding the in-flight
-                # buffer: the fold does not depend on it, so the
-                # transfer overlaps the compute
-                with jax.named_scope('ring_shift'):
-                    nxt = tuple(jax.lax.ppermute(b, 'row', rperm)
-                                for b in buf)
-            else:
-                nxt = None
-            with jax.named_scope('ring_fold'):
-                yk = windowed_spmm_chunks(mats[k], buf, **spmm_kw)
-            y = yk if y is None else tuple(a + b
-                                           for a, b in zip(y, yk))
-            buf = nxt
+        srcs = collect_sources(t_chunks)
+        y = fused_fold(list(mats), srcs, True)
         if pc > 1:
             yf = y[0] if len(y) == 1 else jnp.concatenate(y)
             with jax.named_scope('psum_scatter_rowgroup'):

@@ -77,6 +77,7 @@ _SLOW_PATTERNS = [
     'test_cluster_reorder_parity_and_quality',  # 37s
     'test_two_process_sharded_cheby',          # jax.distributed spawn
     'test_tutorial_blocks[scaling.md]',        # 72s
+    'test_tutorial_blocks[deployment.md]',     # 117s (2x shard_map)
     'test_tutorial_blocks[training.md]',       # 46s
     'test_example_runs[tpu_scaling.py]',       # 44s
 ]
