@@ -175,9 +175,20 @@ def finalize():
         'r4_reference': {'2d_ring@4': 1.523, '2d_interleaved@4': 1.565,
                          '1d_combined@4': 2.333, '1d_combined@8': 2.981,
                          'single_chip': 1.165},
-        'fold_cost_note': 'pad counts gathered slots; span-4 slabs add '
-                          '~9% (f32) / ~18% (bf16) fold FLOPs per slot, '
-                          'carried as slot_cost_mult in SCALING_r5.json',
+        'fold_cost_note': 'pad counts gathered slots; the on-chip '
+                          'per-slot rate of fragmented blocks exceeds '
+                          'the dense rate by shape-dependent factors '
+                          'measured in FRAGDIAG3-9 — SCALING_r5.json '
+                          'uses DIRECTLY MEASURED per-chip matvec '
+                          'times, not pad x constant',
+        'conclusion': 'The three levers close the 2-D weak-scale slot '
+                      'padding to 1.17x at 4 chips (single-chip: '
+                      '1.164), 1.21-1.27x at 16-64 chips (r4: '
+                      '1.52-1.57); the 1-D halo layout stays 2.3-2.9x '
+                      '(structural: scattered halo columns). Slot '
+                      'padding is no longer the binding weak-scale '
+                      'constraint — the fragmented-shape EXECUTION '
+                      'rate is (see FRAGDIAG* and SCALING_r5).',
     }
     with open(os.path.join(REPO, 'WEAKPAD_r5.json'), 'w') as f:
         json.dump(out, f, indent=1)
@@ -196,8 +207,14 @@ def main():
         elif c == 'p16':
             run_2d(4, 4, 24, 'true weak share (16.8M edges/chip)')
         elif c == 'p64':
-            run_2d(8, 8, 24, '1/4 share (4.2M edges/chip); density '
-                             'driver deg/pr is share-independent')
+            run_2d(8, 8, 24, '1/4 share (4.2M edges/chip); NOTE the '
+                             'per-slab demand lambda_w = P*deg_row*R/'
+                             'n_local DOES depend on the share through '
+                             'n_local — at the true share (n_local='
+                             '2^20) lambda is 4x smaller than measured '
+                             'here, so the true-share p64 pad is '
+                             'bounded by the lambda/4 row of the pack '
+                             'simulation (~1.35-1.45)')
         elif c == 'oned':
             run_oned()
         elif c == 'finalize':
