@@ -235,7 +235,8 @@ def partition_graph_2d(W, pr: int, pc: int,
 def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
                         chunk_rows=None, slab_width=None, hub_degree=None,
                         ring: bool = False, split_cols: bool = False,
-                        borrow_span=None, max_chunk_rows=None):
+                        borrow_span=None, max_chunk_rows=None,
+                        mono: bool = False):
     """Windowed-compact layout of every device's edge block (the
     single-chip hot-path format, :mod:`pygsp_tpu.core.windowed`) for the
     local SpMM inside :func:`cheby_op_2d` — scatter-free slab gathers +
@@ -281,6 +282,63 @@ def twod_local_windowed(tg: TwoDGraph, *, window_rows=None,
                       max_chunk_rows=max_chunk_rows)
 
     P_ = window_rows or WINDOW_ROWS
+    if mono:
+        # ONE matrix per device over the ring-ordered column space
+        # [0, pr·n_local): source slice (i−k) mod pr lands at offset
+        # k·n_local, exactly the order the engine's ring collection
+        # produces — so the collected buffers' chunk tuples concatenate
+        # (zero-copy) into this matrix's source chunks. One fold per
+        # matvec at dense-like λ_w: measured 4.3 ns/edge at the 4-chip
+        # weak share vs 8.1 for per-step folds (FRAGDIAG9 vs 6).
+        if chunk_rows is None:
+            from pygsp_tpu.core.windowed import auto_chunk_rows
+            nnz_est = int(sum((rows[d_] < n_row_ext).sum()
+                              for d_ in range(tg.n_devices)))
+            r_auto = auto_chunk_rows(
+                nnz_est // max(tg.n_devices, 1), n_row_ext,
+                tg.pr * tg.n_local, P_, max_rows=max_chunk_rows)
+            ns_loc = max(1, -(-tg.n_local // r_auto))
+            while (tg.n_local % ns_loc
+                   or (tg.n_local // ns_loc) % P_):
+                ns_loc += 1
+                if ns_loc > tg.n_local:
+                    raise ValueError(
+                        f'mono layout needs chunk_rows dividing n_local '
+                        f'({tg.n_local}) in multiples of window_rows '
+                        f'({P_}) — pass chunk_rows explicitly')
+            chunk_rows = tg.n_local // ns_loc
+        elif tg.n_local % int(chunk_rows):
+            raise ValueError(f'mono layout: chunk_rows ({chunk_rows}) '
+                             f'must divide n_local ({tg.n_local})')
+        mono_parts = []
+        for d_ in range(tg.n_devices):
+            i = d_ // tg.pc
+            real = rows[d_] < n_row_ext
+            r, c_, v = rows[d_][real], cols[d_][real], vals[d_][real]
+            k = (i - c_ // tg.n_local) % tg.pr
+            mono_parts.append((r, k * tg.n_local + c_ % tg.n_local, v))
+        if not split_cols:
+            return (_build(n_row_ext, vals.dtype, mono_parts,
+                           tg.pr * tg.n_local, P_, chunk_rows,
+                           slab_width, hub_degree,
+                           borrow_span=borrow_span),)
+        row_s, span = [], borrow_span
+        for s in range(tg.pc):
+            parts = []
+            for d_, (r, cm, v) in enumerate(mono_parts):
+                j = d_ % tg.pc
+                dest = (j - 1 - s) % tg.pc
+                seld = r // tg.n_local == dest
+                parts.append((r[seld] - dest * tg.n_local, cm[seld],
+                              v[seld]))
+            row_s.append(_build(tg.n_local, vals.dtype, parts,
+                                tg.pr * tg.n_local, P_, chunk_rows,
+                                slab_width, hub_degree,
+                                borrow_span=span))
+            if span is None:
+                span = row_s[0].borrow_span
+        return (tuple(row_s),)
+
     if chunk_rows is None:
         from pygsp_tpu.core.windowed import auto_chunk_rows
         nnz_est = int(sum((rows[d_] < n_row_ext).sum()
@@ -540,7 +598,12 @@ def _ring_body_setup(tg, ell_sl, interleave, R, diag, lmax, x_local, cdt,
     a1 = lmax / 2
     a2 = lmax / 2
     sc = 2.0 / a1
-    if interleave:
+    mono = len(ell_sl) == 1 and pr > 1
+    if mono and interleave:
+        mats = tuple(e.local_matrix() for e in ell_sl[0])  # per dest s
+    elif mono:
+        mats = (ell_sl[0].local_matrix(),)
+    elif interleave:
         mats = tuple(tuple(e.local_matrix() for e in row)
                      for row in ell_sl)
     else:
@@ -620,7 +683,46 @@ def _ring_body_setup(tg, ell_sl, interleave, R, diag, lmax, x_local, cdt,
             r = tuple(a + b.astype(odt) for a, b in zip(r, recv))
         return r
 
+    def offdiag_mono(t_chunks):
+        """Ring collection + ONE monolithic fold over the concatenated
+        (zero-copy) ring buffers — the dense-shaped per-chip SpMM
+        (FRAGDIAG9: 4.3 ns/edge at the 4-chip weak share vs 8.1 for
+        per-step folds). With mono-interleaved layouts the col ring
+        hops still hide under the per-destination folds."""
+        srcs = collect_sources(t_chunks)
+        xcat = tuple(c for s_ in srcs for c in s_)
+        if interleave:
+            with jax.named_scope('mono_fold_s0'):
+                r = windowed_spmm_chunks(mats[0], xcat, **spmm_kw)
+            for s in range(1, pc):
+                with jax.named_scope('col_ring_hop'):
+                    send = (r if sdt is None
+                            else tuple(a.astype(sdt) for a in r))
+                    recv = tuple(jax.lax.ppermute(a, 'col', cperm)
+                                 for a in send)
+                with jax.named_scope(f'mono_fold_s{s}'):
+                    r = windowed_spmm_chunks(mats[s], xcat, **spmm_kw)
+                r = tuple(a + b.astype(odt) for a, b in zip(r, recv))
+            return r
+        with jax.named_scope('mono_fold'):
+            y = windowed_spmm_chunks(mats[0], xcat, **spmm_kw)
+        if pc > 1:
+            yf = y[0] if len(y) == 1 else jnp.concatenate(y)
+            with jax.named_scope('psum_scatter_rowgroup'):
+                if sdt is not None:
+                    yf = jax.lax.psum_scatter(
+                        yf.astype(sdt), 'col', scatter_dimension=0,
+                        tiled=True).astype(odt)
+                else:
+                    yf = jax.lax.psum_scatter(yf, 'col',
+                                              scatter_dimension=0,
+                                              tiled=True)
+            return chunk_signal(yf, R)
+        return y
+
     def offdiag_apply(t_chunks):
+        if mono:
+            return offdiag_mono(t_chunks)
         if interleave:
             return offdiag_interleaved(t_chunks)
         srcs = collect_sources(t_chunks)

@@ -74,6 +74,7 @@ _SLOW_PATTERNS = [
     'test_2d_fixed_graph_vjp*',                # fwd+bwd x2 compiles (r4)
     'test_2d_scatter_dtype*',                  # (2,4) ring + bf16 scatter
     'test_mixed_dtype_promotion',              # 4 shard_map compiles
+    'test_2d_mono',                            # 4 shard_map compiles
     'test_cluster_reorder_parity_and_quality',  # 37s
     'test_two_process_sharded_cheby',          # jax.distributed spawn
     'test_tutorial_blocks[scaling.md]',        # 72s

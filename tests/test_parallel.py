@@ -762,3 +762,69 @@ def test_mixed_dtype_promotion():
             ** 2), argnums=(0, 1))(c, xq)
     assert gx.dtype == xq.dtype and gc.dtype == jnp.asarray(c).dtype
     assert np.isfinite(np.asarray(gc)).all()
+
+
+@requires_multi
+def test_2d_mono(problem):
+    """Monolithic ring layout (round 5): ONE fold per matvec over the
+    zero-copy concatenation of the collected ring buffers — parity with
+    the unsharded reference on plain and interleaved variants, bf16
+    carry within budget, grads through the engine."""
+    from pygsp_tpu.parallel import (cheby_op_2d, cheby_synthesis_2d,
+                                    make_mesh_2d, partition_graph_2d,
+                                    twod_local_windowed)
+    G, x, lap_type = problem
+    if lap_type != 'combinatorial':
+        pytest.skip('one lap_type suffices (compile-heavy)')
+    G.estimate_lmax()
+    lmax = float(G.lmax)
+    c = cheby.cheby_coeff(gsp.filters.Heat(G, scale=[5, 20]).evaluate,
+                          lmax, m=10)
+    ref = np.asarray(cheby.cheby_op(G.L, lmax, c, jnp.asarray(x)))
+
+    tg = partition_graph_2d(G.W, 2, 2, lap_type=lap_type)
+    assert tg.n_local % 8 == 0
+    mesh = make_mesh_2d(2, 2)
+    xp = tg.pad_signal(x)
+    perm = np.asarray(tg.perm)
+    ell = twod_local_windowed(tg, ring=True, mono=True, chunk_rows=8,
+                              window_rows=8)
+    assert isinstance(ell, tuple) and len(ell) == 1
+    out = cheby_op_2d(tg, lmax, c, xp, mesh, ell=ell)
+    assert np.allclose(np.asarray(out)[:, perm, :], ref, atol=1e-9)
+
+    out16 = cheby_op_2d(tg, lmax, c, xp, mesh, ell=ell,
+                        carry_dtype=jnp.bfloat16)
+    rel = (np.abs(np.asarray(out16)[:, perm, :] - ref).max()
+           / np.abs(ref).max())
+    assert rel < 1.5e-2, rel
+
+    # synthesis through the same mono body
+    rng = np.random.default_rng(5)
+    y = rng.normal(size=(G.N, x.shape[1], 2))
+    yp = tg.pad_signal(y)
+    ref_s = np.asarray(cheby.cheby_synthesis(G.L, lmax, c,
+                                             jnp.asarray(y)))
+    out_s = cheby_synthesis_2d(tg, lmax, c, yp, mesh, ell=ell)
+    assert np.allclose(np.asarray(out_s)[perm], ref_s, atol=1e-9)
+
+    # mono-interleaved: col ring hops between per-destination folds
+    elli = twod_local_windowed(tg, ring=True, mono=True,
+                               split_cols=True, chunk_rows=8,
+                               window_rows=8)
+    assert len(elli) == 1 and isinstance(elli[0], tuple)
+    outi = cheby_op_2d(tg, lmax, c, xp, mesh, ell=elli)
+    assert np.allclose(np.asarray(outi)[:, perm, :], ref, atol=1e-9)
+
+    def loss(scale):
+        cs = cheby.cheby_coeff(
+            lambda lam: jnp.exp(-scale * lam / lmax)[None], lmax, m=6)
+        return jnp.sum(cheby_op_2d(tg, lmax, cs, xp, mesh, ell=ell) ** 2)
+
+    g1 = jax.grad(loss)(5.0)
+    fd = (loss(5.0 + 1e-4) - loss(5.0 - 1e-4)) / 2e-4
+    assert np.isclose(float(g1), float(fd), rtol=1e-4)
+
+    with pytest.raises(ValueError, match='divide'):
+        twod_local_windowed(tg, ring=True, mono=True, chunk_rows=24,
+                            window_rows=8)
