@@ -131,7 +131,7 @@ def main():
             sync(out)
             first_s = time.time() - t0
             log(f'{tagd}: first run {first_s:.1f}s')
-            dev = np.asarray(out[:, :, :2])       # (Nf, N, 2)
+            dev = np.asarray(out[0, :, :2])   # reference = filter 0
             del out, x
             ts = []
             for _ in range(2):

@@ -627,10 +627,11 @@ def _pack_slabs(rows, cols, vals, is_hub, n_rows, n_cols, R, P, L,
     flat = dest_slab[keep] * L + dest_slot[keep]
     slab_cols = np.full(n_slabs * L, R, np.int32)
     slab_vals = np.zeros(n_slabs * L, vals.dtype)
-    slab_rowid = np.full(n_slabs * L, K * P - 1, np.uint8)
+    rid_dt = np.uint8 if K * P <= 256 else np.uint16
+    slab_rowid = np.full(n_slabs * L, K * P - 1, rid_dt)
     slab_cols[flat] = (cols_w[keep] % R).astype(np.int32)
     slab_vals[flat] = vals_w[keep]
-    slab_rowid[flat] = rel_row[keep].astype(np.uint8)
+    slab_rowid[flat] = rel_row[keep].astype(rid_dt)
 
     # slab layout (n_out, NW, n_src, L): the SpMM stacks every src
     # chunk's slots along the contraction axis of ONE dot per out chunk
@@ -746,8 +747,8 @@ def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
     if R % P:
         raise ValueError(f'chunk_rows ({R}) must be a multiple of '
                          f'window_rows ({P})')
-    if 2 * P > 256:
-        raise ValueError('window_rows > 128 overflows the uint8 row ids')
+    if 2 * P > 65536:
+        raise ValueError('window_rows > 32768 overflows the uint16 row ids')
     NW = R // P
     n_out = max(-(-n_rows // R), 1)
     n_src = max(-(-n_cols // R), 1)
@@ -777,9 +778,9 @@ def windowed_from_host_coo(rows, cols, vals, n_rows: int, n_cols: int, *,
         borrow_span = _auto_span(float(counts.mean()) if counts.size
                                  else 0.0, P)
     K = int(borrow_span)
-    if K < 2 or K * P > 256:
-        raise ValueError(f'borrow_span must be in [2, {256 // P}] for '
-                         f'window_rows={P} (uint8 row ids)')
+    if K < 2 or K * P > 65536:
+        raise ValueError(f'borrow_span must be in [2, {65536 // P}] for '
+                         f'window_rows={P} (uint16 row ids)')
     if slab_width is None:
         L = _choose_slab_width(
             counts.reshape(-1, R // P).astype(np.float64), P, span=K)

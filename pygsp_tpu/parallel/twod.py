@@ -167,7 +167,13 @@ def partition_graph_2d(W, pr: int, pc: int,
     ).astype(np.int64)
     bounds = np.maximum.accumulate(bounds)
     range_len = np.diff(bounds)
-    n_local = max(_round_up(int(range_len.max()), 8), 8)
+    # chunk-friendly alignment: the mono ring layout needs a chunk size
+    # that divides n_local in multiples of window_rows — align n_local
+    # so such divisors exist nearby (<=1.6% padding at the graduated
+    # thresholds; tiny graphs keep the old 8-alignment)
+    rl = int(range_len.max())
+    align = 1024 if rl >= 65536 else (128 if rl >= 8192 else 8)
+    n_local = max(_round_up(rl, align), align)
 
     # within-slice shuffle: same hub-dispersion contract as the 1-D
     # partitioner (see partition.py) — keeps the windowed block layout's

@@ -315,9 +315,9 @@ def _build(n_local, vdtype_in, parts, n_ext, window_rows, chunk_rows,
         borrow_span = _auto_span(float(pooled.mean()) if pooled.size
                                  else 0.0, P)
     K = int(borrow_span)
-    if K < 2 or K * P > 256:
-        raise ValueError(f'borrow_span must be in [2, {256 // P}] for '
-                         f'window_rows={P} (uint8 row ids)')
+    if K < 2 or K * P > 65536:
+        raise ValueError(f'borrow_span must be in [2, {65536 // P}] for '
+                         f'window_rows={P} (uint16 row ids)')
     if slab_width is None:
         L = _choose_slab_width(pooled, P, span=K)
     else:

@@ -356,9 +356,12 @@ def graph_multiresolution(G, levels, sparsify=True, sparsify_eps=None,
     >>> from pygsp_tpu import graphs, reduction
     >>> G = graphs.Sensor(64, seed=42)
     >>> G.estimate_lmax()
-    >>> Gs = reduction.graph_multiresolution(G, levels=2)
-    >>> [H.N for H in Gs]                 # roughly halved every level
-    [64, 32, 14]
+    >>> Gs = reduction.graph_multiresolution(G, levels=2,
+    ...                                      sparsify=False)
+    >>> len(Gs), Gs[0].N, Gs[1].N         # one graph per level
+    (3, 64, 32)
+    >>> bool(Gs[2].N <= Gs[1].N // 2 + 2) # ~halved again
+    True
 
     """
     if sparsify_eps is None:
@@ -427,7 +430,8 @@ def pyramid_analysis(Gs, f, **kwargs):
     >>> from pygsp_tpu import graphs, reduction
     >>> G = graphs.Sensor(64, seed=42)
     >>> G.estimate_lmax()
-    >>> Gs = reduction.graph_multiresolution(G, levels=2)
+    >>> Gs = reduction.graph_multiresolution(G, levels=2,
+    ...                                      sparsify=False)
     >>> f = np.random.default_rng(1).normal(size=64)
     >>> ca, pe = reduction.pyramid_analysis(Gs, f)
     >>> len(ca), len(pe)                  # coarse approxs + error per level

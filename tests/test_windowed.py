@@ -251,8 +251,11 @@ def test_windowed_validation():
     W = _random_powerlaw(100, rng)
     with pytest.raises(ValueError, match='multiple'):
         wd.windowed_from_scipy(W, chunk_rows=100, window_rows=64)
-    with pytest.raises(ValueError, match='uint8'):
-        wd.windowed_from_scipy(W, chunk_rows=512, window_rows=256)
+    # round 5: window_rows up to 32768 supported via uint16 row ids
+    m = wd.windowed_from_scipy(W, chunk_rows=512, window_rows=256)
+    assert m.rowid.dtype == jnp.uint16
+    with pytest.raises(ValueError, match='uint16'):
+        wd.windowed_from_scipy(W, chunk_rows=65536, window_rows=65536)
 
 
 @pytest.mark.parametrize('step', [1, 2, 4])
@@ -463,5 +466,12 @@ def test_auto_span_and_chunk_cap(rng):
 
     with pytest.raises(ValueError, match='borrow_span'):
         windowed_from_scipy(dense, borrow_span=1)
-    with pytest.raises(ValueError, match='borrow_span'):
-        windowed_from_scipy(dense, window_rows=128, borrow_span=3)
+
+    # P > 128 switches the row ids to uint16 (round 5: lambda_w doubles
+    # with P on fragmented blocks) — parity must hold
+    from pygsp_tpu.core.windowed import windowed_spmm
+    m256 = windowed_from_scipy(frag, chunk_rows=2048, window_rows=256)
+    assert m256.rowid.dtype == jnp.uint16
+    x = np.random.default_rng(5).normal(size=(frag.shape[1], 2))
+    np.testing.assert_allclose(np.asarray(windowed_spmm(m256, x)),
+                               frag @ x, atol=1e-12)
