@@ -180,13 +180,19 @@ def main():
             'scheduling on fragmented shapes — a custom fold kernel '
             'is the identified (but unproven) next lever.'),
         'target': (
-            '>=0.80 BASELINE weak-scaling: met at 4 chips in the '
-            'deployed bf16 mode under the 0.5-hide model '
-            f"({p[4]['eff_bf16_hide0.5']}), missed at 8 "
+            '>=0.80 BASELINE weak-scaling: AT THE THRESHOLD at 4 '
+            f"chips ({p[4]['eff_bf16_hide0.5']} central; "
+            f"{p[4]['eff_bf16_Wx2']} at 2x link BW, "
+            f"{p[4]['eff_bf16_Wx0.5']} at 0.5x — the link assumption "
+            'is the deciding term there), MISSED at 8 '
             f"({p[8]['eff_bf16_hide0.5']}) and 16 "
-            f"({p[16]['eff_bf16_hide0.5']}) — reported honestly with "
-            'the full measurement ladder (FRAGDIAG3-9) as evidence '
-            'of what binds.'),
+            f"({p[16]['eff_bf16_hide0.5']}). Reported honestly with "
+            'the full measurement ladder (FRAGDIAG3-9) as evidence of '
+            'what binds. Untried levers: the mono-interleaved col '
+            'ring (implemented + tested, hides the scatter, but its '
+            'per-destination fold split is unmeasured and fold '
+            'splitting measured costly elsewhere), and a custom fold '
+            'kernel for fragmented shapes.'),
     }
 
     with open(os.path.join(REPO, 'SCALING_r5.json'), 'w') as f:
