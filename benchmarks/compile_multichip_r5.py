@@ -40,7 +40,12 @@ def log(*a):
 
 def main():
     phase = sys.argv[1]
-    if phase == 'cold' and os.path.isdir(CACHE_DIR):
+    engines = sys.argv[2] if len(sys.argv) > 2 else 'both'
+    # engines run in SEPARATE processes: the first engine's HBM is not
+    # reliably reclaimed in-process (measured ResourceExhausted on the
+    # second build)
+    if phase == 'cold' and engines in ('both', 'sharded') \
+            and os.path.isdir(CACHE_DIR):
         shutil.rmtree(CACHE_DIR)
 
     import jax
@@ -82,39 +87,41 @@ def main():
             f.write(json.dumps(kw) + '\n')
         print(json.dumps(kw), flush=True)
 
-    # --- sharded engine (combined windowed layout, g=14, bf16 values) ---
     os.environ['PYGSP_SHARDED_ACC_GROUP'] = '14'
-    t0 = time.time()
-    sg = partition_graph(W, 1, reorder='none', dtype=np.float32)
-    ell = shard_local_windowed(sg, split_boundary=False
-                               ).astype(jnp.bfloat16)
-    mesh = make_mesh(1, 1)
-    build_s = time.time() - t0
-    xpad = sg.pad_signal(x_host)
-    t0 = time.time()
-    out = sharded_cheby_op(sg, lmax, c, xpad, mesh, ell=ell,
+    if engines in ('both', 'sharded'):
+        # --- sharded engine (combined windowed layout, g=14, bf16) ---
+        t0 = time.time()
+        sg = partition_graph(W, 1, reorder='none', dtype=np.float32)
+        ell = shard_local_windowed(sg, split_boundary=False
+                                   ).astype(jnp.bfloat16)
+        mesh = make_mesh(1, 1)
+        build_s = time.time() - t0
+        xpad = sg.pad_signal(x_host)
+        t0 = time.time()
+        out = sharded_cheby_op(sg, lmax, c, xpad, mesh, ell=ell,
+                               carry_dtype=jnp.bfloat16)
+        s0 = float(jnp.sum(jnp.ravel(out[0])[::65537]))
+        rec(engine='sharded_g14_bf16', build_s=round(build_s, 1),
+            first_call_s=round(time.time() - t0, 1), check=round(s0, 4))
+        del out, sg, ell, xpad
+
+    if engines in ('both', 'ring2d'):
+        # --- ring 2-D engine at 1x1 (bf16 values + carry) ------------
+        t0 = time.time()
+        tg = partition_graph_2d(W, 1, 1, dtype=np.float32)
+        ell2 = tuple(m.astype(jnp.bfloat16)
+                     for m in twod_local_windowed(tg, ring=True))
+        mesh2 = make_mesh_2d(1, 1)
+        build_s = time.time() - t0
+        xp = tg.pad_signal(x_host)
+        t0 = time.time()
+        out2 = cheby_op_2d(tg, lmax, c, xp, mesh2, ell=ell2,
                            carry_dtype=jnp.bfloat16)
-    s0 = float(jnp.sum(jnp.ravel(out[0])[::65537]))
-    rec(engine='sharded_g14_bf16', build_s=round(build_s, 1),
-        first_call_s=round(time.time() - t0, 1), check=round(s0, 4))
-    del out, sg, ell, xpad
+        s1 = float(jnp.sum(jnp.ravel(out2[0])[::65537]))
+        rec(engine='ring2d_1x1_bf16', build_s=round(build_s, 1),
+            first_call_s=round(time.time() - t0, 1), check=round(s1, 4))
 
-    # --- ring 2-D engine at 1x1 (bf16 values + carry) --------------------
-    t0 = time.time()
-    tg = partition_graph_2d(W, 1, 1, dtype=np.float32)
-    ell2 = tuple(m.astype(jnp.bfloat16)
-                 for m in twod_local_windowed(tg, ring=True))
-    mesh2 = make_mesh_2d(1, 1)
-    build_s = time.time() - t0
-    xp = tg.pad_signal(x_host)
-    t0 = time.time()
-    out2 = cheby_op_2d(tg, lmax, c, xp, mesh2, ell=ell2,
-                       carry_dtype=jnp.bfloat16)
-    s1 = float(jnp.sum(jnp.ravel(out2[0])[::65537]))
-    rec(engine='ring2d_1x1_bf16', build_s=round(build_s, 1),
-        first_call_s=round(time.time() - t0, 1), check=round(s1, 4))
-
-    if phase == 'warm':
+    if phase == 'warm' and engines in ('both', 'finalize', 'ring2d'):
         rows = [json.loads(l) for l in open(ROWS)]
         latest = {}
         for r in rows:
