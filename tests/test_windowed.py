@@ -475,3 +475,46 @@ def test_auto_span_and_chunk_cap(rng):
     x = np.random.default_rng(5).normal(size=(frag.shape[1], 2))
     np.testing.assert_allclose(np.asarray(windowed_spmm(m256, x)),
                                frag @ x, atol=1e-12)
+
+
+def test_windowed_spmm_multi(rng):
+    """Fused multi-matrix SpMM (round 5): Σ_m A_m @ x_m with per-matrix
+    slab widths/source-chunk counts, against the per-matrix sum."""
+    from pygsp_tpu.core.chunked import chunk_signal
+    from pygsp_tpu.core.windowed import (windowed_from_scipy,
+                                         windowed_spmm_chunks,
+                                         windowed_spmm_chunks_multi)
+
+    n_rows, n1, n2 = 1024, 640, 1280
+    A1 = sps.random(n_rows, n1, density=8e-3, random_state=1,
+                    format='csr')
+    A1.data[:] = rng.normal(size=A1.nnz)
+    A2 = sps.random(n_rows, n2, density=2e-3, random_state=2,
+                    format='csr')
+    A2.data[:] = rng.normal(size=A2.nnz)
+    m1 = windowed_from_scipy(A1, chunk_rows=256, window_rows=32,
+                             permute=None, borrow_span=2)
+    m2 = windowed_from_scipy(A2, chunk_rows=256, window_rows=32,
+                             permute=None, borrow_span=2)
+    x1 = rng.normal(size=(n1, 3))
+    x2 = rng.normal(size=(n2, 3))
+    xc1 = chunk_signal(jnp.asarray(x1), 256)
+    xc2 = chunk_signal(jnp.asarray(x2), 256)
+    got = np.concatenate([np.asarray(c) for c in
+                          windowed_spmm_chunks_multi([m1, m2],
+                                                     [xc1, xc2])])
+    want = A1 @ x1 + A2 @ x2
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+    # equals the sum of single-matrix folds exactly (same fold order)
+    y1 = np.concatenate([np.asarray(c)
+                         for c in windowed_spmm_chunks(m1, xc1)])
+    y2 = np.concatenate([np.asarray(c)
+                         for c in windowed_spmm_chunks(m2, xc2)])
+    np.testing.assert_allclose(got, y1 + y2, atol=1e-13)
+
+    # mismatched chunking refuses
+    m3 = windowed_from_scipy(A2, chunk_rows=128, window_rows=32,
+                             permute=None, borrow_span=2)
+    with pytest.raises(ValueError, match='fused'):
+        windowed_spmm_chunks_multi([m1, m3], [xc1, xc2])
