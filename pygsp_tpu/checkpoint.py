@@ -12,7 +12,22 @@ import scipy.sparse as sps
 
 
 def save_graph(path: str, G, include_fourier: bool = True) -> None:
-    """Persist adjacency + coords + signals + cached spectral state."""
+    """Persist adjacency + coords + signals + cached spectral state.
+
+    Examples
+    --------
+    >>> import os, tempfile
+    >>> from pygsp_tpu import graphs, checkpoint
+    >>> G = graphs.Ring(8)
+    >>> G.estimate_lmax()
+    >>> with tempfile.TemporaryDirectory() as d:
+    ...     path = os.path.join(d, 'g.npz')
+    ...     checkpoint.save_graph(path, G)
+    ...     H = checkpoint.load_graph(path)
+    >>> H.N, bool(abs(H.lmax - G.lmax) < 1e-12)   # lmax survives
+    (8, True)
+
+    """
     coo = G.W.tocoo()
     data = {
         'rows': coo.row, 'cols': coo.col, 'vals': coo.data,

@@ -52,7 +52,17 @@ def _join_signals(signals):
 
 def to_networkx(G):
     """Export to a (Di)Graph with edge 'weight' and per-signal node
-    attributes (reference ``_io.py:54-142``)."""
+    attributes (reference ``_io.py:54-142``).
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> from pygsp_tpu.graphs import _io
+    >>> nx_graph = _io.to_networkx(graphs.Ring(8))
+    >>> nx_graph.number_of_nodes(), nx_graph.number_of_edges()
+    (8, 8)
+
+    """
     nx = _import_networkx()
 
     def convert(x):
@@ -73,7 +83,17 @@ def to_networkx(G):
 
 def from_networkx(graph, weight='weight'):
     """Import from NetworkX; node attributes become signals (NaN where
-    unset); multiedges aggregate by summation (reference ``_io.py:220-299``)."""
+    unset); multiedges aggregate by summation (reference ``_io.py:220-299``).
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> from pygsp_tpu.graphs import _io
+    >>> G = _io.from_networkx(_io.to_networkx(graphs.Ring(8)))
+    >>> G.N, G.Ne                        # lossless roundtrip
+    (8, 8)
+
+    """
     nx = _import_networkx()
     from pygsp_tpu.graphs.graph import Graph
 
@@ -145,6 +165,20 @@ def save(G, path, fmt=None, backend=None):
     ``backend``: 'networkx', 'graph-tool', or None (try networkx, fall
     back to graph-tool) — the reference's routing, including the
     ImportError when an explicitly requested backend is missing.
+
+    Examples
+    --------
+    >>> import os, tempfile
+    >>> from pygsp_tpu import graphs
+    >>> from pygsp_tpu.graphs import _io
+    >>> G = graphs.Ring(8)
+    >>> with tempfile.TemporaryDirectory() as d:
+    ...     path = os.path.join(d, 'ring.graphml')
+    ...     _io.save(G, path)
+    ...     H = _io.load(path)
+    >>> H.N, H.Ne
+    (8, 8)
+
     """
     if fmt is None:
         fmt = os.path.splitext(path)[1][1:]

@@ -20,7 +20,20 @@ _MINKOWSKI = {'euclidean': 2, 'manhattan': 1, 'max_dist': np.inf}
 
 
 class NNGraph(Graph):
-    """kNN or epsilon-radius graph over row-vector features ``Xin``."""
+    """kNN or epsilon-radius graph over row-vector features ``Xin``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pygsp_tpu import graphs
+    >>> pts = np.random.default_rng(0).normal(size=(50, 3))
+    >>> G = graphs.NNGraph(pts, k=4)
+    >>> G.N
+    50
+    >>> G.is_connected() in (True, False)   # knn graph over the points
+    True
+
+    """
 
     def __init__(self, Xin, NNtype='knn', use_flann=False, center=True,
                  rescale=True, k=10, sigma=None, epsilon=0.01, plotting=None,

@@ -285,6 +285,18 @@ def partition_graph(W, n_shards: int, lap_type: str = 'combinatorial',
     mean. 'vertex' is the plain equal-vertex-count split. Shards own
     contiguous (possibly different-length) vertex ranges, each padded to
     a common ``n_local`` so shapes stay uniform for ``shard_map``.
+
+    Examples
+    --------
+    >>> from pygsp_tpu import graphs
+    >>> from pygsp_tpu.parallel import partition_graph
+    >>> G = graphs.Sensor(64, seed=42)
+    >>> sg = partition_graph(G.W, 4)
+    >>> sg.n_shards, sg.n_local * 4 >= G.N
+    (4, True)
+    >>> sg.halo_total > 0                # remote rows each shard receives
+    True
+
     """
     W = sps.csr_matrix(W)
     N = W.shape[0]

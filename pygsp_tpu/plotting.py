@@ -80,6 +80,17 @@ def plot_graph(G, vertex_color=None, vertex_size=None, highlight=[],
     - ``edge_width``: per-edge signal → widths ≤ 2× default, or a scalar.
 
     Returns the axes (deviation: the reference returns ``(fig, ax)``).
+
+    Examples
+    --------
+    >>> import matplotlib
+    >>> matplotlib.use('Agg')
+    >>> from pygsp_tpu import graphs, plotting
+    >>> G = graphs.Ring(8)
+    >>> ax = plotting.plot_graph(G)
+    >>> type(ax).__name__
+    'Axes'
+
     """
     if G.coords is None:
         raise AttributeError('Graph has no coordinate set. '
@@ -220,7 +231,20 @@ def plot_graph(G, vertex_color=None, vertex_size=None, highlight=[],
 def plot_filter(g, n=500, eigenvalues=None, sum=None, labels=None, title=None,
                 ax=None, **kwargs):
     """Plot kernel response curves and their squared sum
-    (reference ``_plot_filter``, ``plotting.py:199-323``)."""
+    (reference ``_plot_filter``, ``plotting.py:199-323``).
+
+    Examples
+    --------
+    >>> import matplotlib
+    >>> matplotlib.use('Agg')
+    >>> from pygsp_tpu import graphs, filters, plotting
+    >>> G = graphs.Ring(8)
+    >>> G.estimate_lmax()
+    >>> ax = plotting.plot_filter(filters.Heat(G, scale=5))
+    >>> type(ax).__name__
+    'Axes'
+
+    """
     G = g.G
     if eigenvalues is None:
         eigenvalues = G._e is not None
