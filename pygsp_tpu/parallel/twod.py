@@ -178,9 +178,13 @@ def partition_graph_2d(W, pr: int, pc: int,
     # within-slice shuffle: same hub-dispersion contract as the 1-D
     # partitioner (see partition.py) — keeps the windowed block layout's
     # pooled slab width tight on degree-correlated vertex ids; rides the
-    # global perm at zero runtime cost
+    # global perm at zero runtime cost. The seed MUST differ from the
+    # global 'shuffle' reorder's: at p=1 both permutations have size N
+    # and a shared seed makes them the IDENTICAL draw, which cancels to
+    # the identity relabeling (measured: ring-1x1 slot pad 1.16 -> 1.38
+    # and the engine 91.6% -> 49.7% before this fix).
     slice_of_rank = np.searchsorted(bounds, np.arange(N), side='right') - 1
-    sh_rng = np.random.default_rng(0x5EED)
+    sh_rng = np.random.default_rng(0x5EED ^ 0x9E3779B9)
     local_pos = np.empty(N, dtype=np.int64)
     for s_ in range(p):
         local_pos[bounds[s_]:bounds[s_ + 1]] = sh_rng.permutation(

@@ -73,8 +73,9 @@ _SLOW_PATTERNS = [
     'test_2d_interleaved*',                    # multi-compile (round-4)
     'test_2d_fixed_graph_vjp*',                # fwd+bwd x2 compiles (r4)
     'test_2d_scatter_dtype*',                  # (2,4) ring + bf16 scatter
+    'test_auto_span_and_chunk_cap',            # 108s (uint16 P=256 build)
     'test_mixed_dtype_promotion',              # 4 shard_map compiles
-    'test_2d_mono',                            # 4 shard_map compiles
+    'test_2d_mono*',                           # 584s (4 compiles)
     'test_cluster_reorder_parity_and_quality',  # 37s
     'test_two_process_sharded_cheby',          # jax.distributed spawn
     'test_tutorial_blocks[scaling.md]',        # 72s
@@ -86,8 +87,16 @@ _SLOW_PATTERNS = [
 
 def pytest_collection_modifyitems(config, items):
     import fnmatch
+
+    def match(name, pat):
+        # fnmatch treats [...] as a character class; our patterns carry
+        # LITERAL brackets from parametrized test ids — escape them.
+        # (Round-5 fix: the tutorial patterns had never matched, which
+        # is why the fast tier ran 4+ extra minutes of tutorials.)
+        return fnmatch.fnmatch(name, pat.replace('[', '[[]'))
+
     for item in items:
-        if any(fnmatch.fnmatch(item.name, p) for p in _SLOW_PATTERNS):
+        if any(match(item.name, p) for p in _SLOW_PATTERNS):
             item.add_marker(pytest.mark.slow)
 
 
