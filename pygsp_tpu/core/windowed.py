@@ -238,6 +238,15 @@ def windowed_spmm_chunks_multi(mats, x_chunks_list, out_dtype=None):
     for p_ in pdts[1:]:
         if out_dtype is None:
             dt = jnp.promote_types(dt, p_)
+    # Row sums ALWAYS accumulate at >= f32 on the MXU; a narrow
+    # ``out_dtype`` only narrows what leaves the dot (the convert fuses
+    # into the dot epilogue). This is the weak-scale fold-traffic lever
+    # (PALLAS_FOLD_r5.json): at fragmented per-slab demand the
+    # (nw, K·P, S) window tensor + strip bytes dominate the SpMM —
+    # 205 B/slot at λ_w = 16 vs 114 at single-chip density — and the
+    # bf16-carry recurrence re-rounds the output anyway, so emitting
+    # bf16 halves that traffic for one extra same-scale rounding.
+    acc_dt = jnp.promote_types(dt, jnp.float32)
     iota = jnp.arange(K * P, dtype=jnp.int32)
 
     # Windows per scan step. The body's stacked gather ``p`` and the
@@ -296,16 +305,20 @@ def windowed_spmm_chunks_multi(mats, x_chunks_list, out_dtype=None):
                 p_hi = p.astype(jnp.bfloat16).astype(pdt)
                 p_lo = p - p_hi
                 return (jnp.einsum('wlp,wls->wps', oh, p_hi,
-                                   preferred_element_type=dt)
+                                   preferred_element_type=acc_dt)
                         + jnp.einsum('wlp,wls->wps', oh, p_lo,
-                                     preferred_element_type=dt))
-            # bf16 products: native single-pass MXU, accumulated in the
-            # (wider) out dtype; HIGHEST's multi-pass split is an f32-
-            # operand workaround and would waste passes on exact inputs
+                                     preferred_element_type=acc_dt)
+                        ).astype(dt)
+            # bf16 products: native single-pass MXU, accumulated in
+            # acc_dt (>= f32 — see above); HIGHEST's multi-pass split is
+            # an f32-operand workaround and would waste passes on exact
+            # inputs. The astype to a narrower out dtype fuses into the
+            # dot epilogue (per-matrix so the multi-matrix sum also
+            # moves at out width).
             prec = (lax.Precision.DEFAULT if pdt == jnp.bfloat16
                     else FOLD_PRECISION)
             return jnp.einsum('wlp,wls->wps', oh, p, precision=prec,
-                              preferred_element_type=dt)
+                              preferred_element_type=acc_dt).astype(dt)
 
         def fold(slabs, nw):
             """Σ over matrices of the per-matrix window folds."""
@@ -396,8 +409,8 @@ def windowed_spmm_chunks_multi(mats, x_chunks_list, out_dtype=None):
                 # final chunk is padded, past every real row)
                 ps = jnp.concatenate(
                     [_slot_block_sum(lev.cols, lev.vals,
-                                     x2[lev.src_chunk], out_dtype=dt)
-                     for lev in m.levels])
+                                     x2[lev.src_chunk], out_dtype=acc_dt)
+                     for lev in m.levels]).astype(dt)
                 yf = yf.at[m.level_rows].add(ps, mode='drop')
 
     return tuple(yf[i * R:i * R + m0.out_chunk_size(i)]

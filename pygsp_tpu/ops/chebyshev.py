@@ -227,7 +227,13 @@ def _cheby_op_chunked(L: LaplacianOp, lmax, c, x: jax.Array,
     else:
         def cast(t):
             return tuple(tk.astype(cdt) for tk in t)
-        spmm_kw = {'out_dtype': odt}
+        # the SpMM emits the CARRY dtype (row sums still accumulate in
+        # f32 on the MXU — core/windowed.py acc_dt): the carry re-rounds
+        # the output anyway, and emitting it narrow halves the window-
+        # tensor + strip traffic that dominates fragmented weak-scale
+        # shapes (BF16OUT_r5.json; one extra same-scale rounding).
+        # The elementwise recurrence math promotes back to odt.
+        spmm_kw = {'out_dtype': cdt}
 
     # degree-sort permutes are hoisted: ONE gather in, ONE gather out,
     # with all K recurrence steps running in the matrix's sorted order
@@ -654,7 +660,8 @@ def _chunked_recurrence(L: LaplacianOp, lmax, x, dtype=None,
     else:
         def cast(t):
             return tuple(tk.astype(cdt) for tk in t)
-        spmm_kw = {'out_dtype': odt}
+        spmm_kw = {'out_dtype': cdt}    # carry-width fold output (see
+        #                                 _cheby_op_chunked)
 
     t_old = cast(xc)
     yc0 = fmat.spmm_chunks(t_old, **spmm_kw)

@@ -346,7 +346,11 @@ def _chunk_body_setup(sg, split, diag, send_idx, ell_sl, lmax, x_local,
     else:
         def cast(t):
             return tuple(tk.astype(cdt) for tk in t)
-        spmm_kw = {'out_dtype': odt}
+        # carry-width fold output (f32 MXU accumulation inside the fold
+        # — core/windowed.py acc_dt; BF16OUT_r5.json): halves window-
+        # tensor/strip traffic; interior+boundary partials then add in
+        # the carry dtype, one extra same-scale rounding per step.
+        spmm_kw = {'out_dtype': cdt}
 
     def halo_recv(t_chunks):
         # send rows gathered from the carry tuple — the ppermute

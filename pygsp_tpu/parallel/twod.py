@@ -630,7 +630,14 @@ def _ring_body_setup(tg, ell_sl, interleave, R, diag, lmax, x_local, cdt,
     else:
         def cast(t):
             return tuple(tk.astype(cdt) for tk in t)
-        spmm_kw = {'out_dtype': odt}
+        # carry-width fold output (f32 MXU accumulation inside the fold
+        # — core/windowed.py acc_dt; BF16OUT_r5.json): the dominant
+        # weak-scale lever — fragmented blocks pay 205 B/slot of f32
+        # window-tensor traffic at λ_w = 16 vs 114 at single-chip
+        # density. Ring partials and the 'col' reduction then move at
+        # carry width (the running interleaved sum still accumulates in
+        # odt by promotion).
+        spmm_kw = {'out_dtype': cdt}
 
     rperm = [(r, (r + 1) % pr) for r in range(pr)]
     cperm = [(q, (q + 1) % pc) for q in range(pc)]
